@@ -1,0 +1,138 @@
+"""Headline benchmark: ETH-Apartment-scale registration, pairs/sec/chip.
+
+Workload mirrors the reference's alignETH configuration (main.cpp:343-429):
+~365k-point clouds, symmetric linear ICP, random selection p=0.01, k-NN
+matching at max squared distance 10, 50 iterations. Clouds are synthetic
+(structured surface + noise) since the ETH dataset is an external download;
+sizes, selection rate and iteration counts match the real benchmark.
+
+Baseline proxy: the reference's hot path is FLANN kd-tree queries + an
+Eigen solve on a multicore CPU (SURVEY §3.3); we time the equivalent scipy
+cKDTree build + 50 query rounds + numpy normal-equation solves on this
+host's CPU and report vs_baseline = ours / proxy.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_POINTS = 365_000          # ETH Apartment scan size (SURVEY §2, hard part 1)
+N_ITERATIONS = 50           # main.cpp:366
+SELECTION_P = 0.01          # main.cpp:379
+MAX_DISTANCE = 10.0         # main.cpp:361
+N_TIMED_RUNS = 3
+
+
+def synth_cloud(n, seed):
+    """Structured surface-ish cloud at ETH scale (~tens of meters)."""
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-20, 20, (n, 2)).astype(np.float32)
+    z = (
+        2.0 * np.sin(0.3 * xy[:, 0]) * np.cos(0.2 * xy[:, 1])
+        + 0.1 * rng.standard_normal(n)
+    ).astype(np.float32)
+    pts = np.column_stack([xy, z])
+    nrm = np.column_stack(
+        [
+            -0.6 * np.cos(0.3 * xy[:, 0]) * np.cos(0.2 * xy[:, 1]),
+            0.4 * np.sin(0.3 * xy[:, 0]) * np.sin(0.2 * xy[:, 1]),
+            np.ones(n, np.float32),
+        ]
+    ).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm
+
+
+def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
+    import jax
+
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.pipeline import icp
+    from icp_variants_tpu.pipeline.config import (
+        ICPConfig, Metric, Minimizer, Selection,
+    )
+
+    cfg = ICPConfig(
+        metric=Metric.SYMMETRIC,
+        minimizer=Minimizer.LINEAR,
+        selection=Selection.RANDOM,
+        selection_proba=SELECTION_P,
+        n_iterations=N_ITERATIONS,
+        max_distance=MAX_DISTANCE,
+    )
+    source = cloud_lib.from_numpy(src_pts, normals=src_nrm)
+    target = cloud_lib.from_numpy(tgt_pts, normals=tgt_nrm)
+
+    def run(seed):
+        res = icp.run_icp(cfg, source, target, key=jax.random.PRNGKey(seed))
+        jax.block_until_ready(res.pose)
+        return res
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    for s in range(N_TIMED_RUNS):
+        run(s + 1)
+    dt = (time.perf_counter() - t0) / N_TIMED_RUNS
+    return dt
+
+
+def bench_cpu_proxy(src_pts, tgt_pts):
+    """FLANN+Eigen proxy: kd-tree build + 50 rounds of (select, query, 6x6
+    normal-equation solve) with scipy/numpy on all cores."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    tree = cKDTree(tgt_pts)  # FLANN buildIndex (once per pair)
+    for _ in range(N_ITERATIONS):
+        sel = rng.random(len(src_pts)) < SELECTION_P
+        q = src_pts[sel]
+        d, idx = tree.query(q, k=1, workers=-1)
+        matched = tgt_pts[idx]
+        ok = d * d <= MAX_DISTANCE
+        A = np.concatenate([np.cross(q, matched), np.ones_like(q)], axis=1)
+        A *= ok[:, None]
+        ata = A.T @ A
+        atb = A.T @ (np.sum((matched - q), axis=1) * ok)
+        np.linalg.solve(ata + 1e-6 * np.eye(6), atb)
+    return time.perf_counter() - t0
+
+
+def main():
+    src_pts, src_nrm = synth_cloud(N_POINTS, 0)
+    tgt_pts, tgt_nrm = synth_cloud(N_POINTS, 0)
+    # Perturb source like the ETH driver's scaled GT pose (main.cpp:419-429).
+    ang = 0.05
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    src_pts = src_pts @ R.T + np.array([0.5, -0.3, 0.1], np.float32)
+    src_nrm = src_nrm @ R.T
+
+    dt_tpu = bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm)
+    dt_cpu = bench_cpu_proxy(src_pts, tgt_pts)
+
+    pairs_per_sec = 1.0 / dt_tpu
+    baseline_pairs_per_sec = 1.0 / dt_cpu
+    print(
+        json.dumps(
+            {
+                "metric": "eth_scale_scan_pairs_per_sec_chip",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01)",
+                "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

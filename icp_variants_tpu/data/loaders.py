@@ -1,0 +1,93 @@
+"""Dataset loaders: the TPU-native ``DataLoader`` family.
+
+Equivalents of the reference loaders (DataLoader.h:4-15, BunnyDataLoader.h,
+ETHDataLoader.h): each ``getItem`` yields a :class:`Sample` of padded device
+clouds plus a ground-truth pose. All file parsing happens on the host; the
+clouds land on device as fixed-capacity masked arrays so a whole dataset can
+share one compiled ICP executable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from icp_variants_tpu.core import cloud as cloud_lib
+from icp_variants_tpu.core.cloud import Cloud
+from icp_variants_tpu.data import off_io
+
+# Default asset root: the bunny halves shipped with the repo
+# (Stanford bunny split, from the reference's Data/ directory, MIT-licensed).
+ASSET_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "assets")
+
+
+@dataclass
+class Sample:
+    """One registration problem (DataLoader.h:4-10)."""
+
+    source: Cloud
+    target: Cloud
+    pose: np.ndarray  # (4, 4) ground-truth pose
+
+
+class DataLoader:
+    """Abstract dataset of registration pairs (DataLoader.h:12-15)."""
+
+    def get_length(self) -> int:
+        raise NotImplementedError
+
+    def get_item(self, index: int) -> Sample:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return self.get_length()
+
+    def __getitem__(self, index: int) -> Sample:
+        return self.get_item(index)
+
+
+class BunnyDataLoader(DataLoader):
+    """The Stanford-bunny pair: part2_trans (source) -> part1 (target),
+    identity GT pose (BunnyDataLoader.h:9-39).
+
+    Vertex normals come from summed incident face normals exactly like the
+    mesh constructor of PointCloud.h:24-37.
+    """
+
+    def __init__(self, data_dir: str | None = None, capacity: int | None = None):
+        data_dir = data_dir or os.path.join(ASSET_ROOT, "bunny")
+        self.source_mesh = off_io.read_off(os.path.join(data_dir, "bunny_part2_trans.off"))
+        self.target_mesh = off_io.read_off(os.path.join(data_dir, "bunny_part1.off"))
+        self._capacity = capacity
+
+    def get_length(self) -> int:
+        return 1
+
+    def _cloud_from_mesh(self, mesh: off_io.OffMesh) -> Cloud:
+        normals = cloud_lib.mesh_vertex_normals(mesh.vertices, mesh.triangles)
+        colors = None
+        if mesh.vertex_colors is not None:
+            colors = mesh.vertex_colors.astype(np.float32)
+        return cloud_lib.from_numpy(
+            mesh.vertices, normals=normals, colors=colors, capacity=self._capacity
+        )
+
+    def get_item(self, index: int) -> Sample:
+        if index != 0:
+            raise IndexError("BunnyDataLoader has exactly one sample")
+        return Sample(
+            source=self._cloud_from_mesh(self.source_mesh),
+            target=self._cloud_from_mesh(self.target_mesh),
+            pose=np.eye(4, dtype=np.float32),
+        )
+
+    # Hand-verified GT correspondence indices documented in main.cpp:106-120.
+    GT_SOURCE_INDICES = (215, 424, 640, 1023)
+    GT_TARGET_INDICES = (294, 258, 1238, 1310)
+
+    def gt_correspondences(self) -> tuple[np.ndarray, np.ndarray]:
+        src = self.source_mesh.vertices[list(self.GT_SOURCE_INDICES)]
+        tgt = self.target_mesh.vertices[list(self.GT_TARGET_INDICES)]
+        return src, tgt

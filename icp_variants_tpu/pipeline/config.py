@@ -1,0 +1,126 @@
+"""The single configuration surface of the framework.
+
+The reference scatters its knobs over compile-time ``#define``s
+(main.cpp:22-41), programmatic setters (ICPOptimizer.h:41-95) and an
+11-column experiment CSV (experiment.cpp:414-447). Here everything is one
+frozen (hashable) dataclass so a config can be a static jit argument: one
+``ICPConfig`` = one compiled ICP executable.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, replace
+
+
+class Selection(enum.IntEnum):
+    """selection.h:8 — ``selection_methods``."""
+
+    ALL = 0
+    RANDOM = 1
+
+
+class Matching(enum.IntEnum):
+    """ICPOptimizer.h:71-78 — 0 = k-NN (FLANN there, Pallas here), 1 = projective."""
+
+    KNN = 0
+    PROJECTIVE = 1
+
+
+class Weighting(enum.IntEnum):
+    """weighting.h:8 — ``weighting_methods``."""
+
+    CONSTANT = 0
+    DISTANCES = 1
+    NORMALS = 2
+    COLORS = 3
+
+
+class Metric(enum.IntEnum):
+    """ICPOptimizer.h:46-48 setMetric — error metric selection."""
+
+    POINT_TO_POINT = 0
+    POINT_TO_PLANE = 1
+    SYMMETRIC = 2
+
+
+class Minimizer(enum.IntEnum):
+    """main.cpp:26 USE_LINEAR_ICP — closed-form/linear vs LM non-linear."""
+
+    NONLINEAR_LM = 0
+    LINEAR = 1
+
+
+@dataclass(frozen=True)
+class ICPConfig:
+    """All six pipeline knobs + the cross-cutting options.
+
+    Defaults mirror the reference's constructor defaults
+    (ICPOptimizer.h:29-31): k-NN matching, select-all, constant weighting,
+    normal-angle rejection ON, point-to-point metric, 20 iterations,
+    max (squared) matching distance 3e-4.
+    """
+
+    metric: Metric = Metric.POINT_TO_POINT
+    minimizer: Minimizer = Minimizer.NONLINEAR_LM
+    matching: Matching = Matching.KNN
+    selection: Selection = Selection.ALL
+    weighting: Weighting = Weighting.CONSTANT
+    rejection: bool = True
+
+    n_iterations: int = 20
+    # NOTE: compared against SQUARED distances, exactly like the reference
+    # (ICPOptimizer.h:154 "// Sqaure distance", NearestNeighbor.h:182).
+    max_distance: float = 0.0003
+    selection_proba: float = 1.0
+    # Gather randomly-selected queries into a fixed ~1.25*p*N buffer before
+    # matching (the static-shape analog of the reference's compaction at
+    # selection.h:88-106). Disable to keep full-size masked queries.
+    compact_queries: bool = True
+    color_icp: bool = False
+    multi_resolution: bool = False
+    multi_resolution_min_points: int = 100  # ICPOptimizer.h:21
+
+    # LM inner loop (Ceres solver options, ICPOptimizer.h:352-360).
+    lm_max_inner_iterations: int = 10
+    lm_function_tolerance: float = 1e-6
+
+    # Projective matching camera (NearestNeighborSearchProjective, set via
+    # setCameraParamsMatchingMethod). Stored as plain floats to stay hashable.
+    projective_width: int = 0
+    projective_height: int = 0
+    projective_fx: float = 0.0
+    projective_fy: float = 0.0
+    projective_cx: float = 0.0
+    projective_cy: float = 0.0
+    projective_window: int = 12  # searchWindow, NearestNeighbor.h:319
+
+    def with_camera(self, fx: float, fy: float, cx: float, cy: float, width: int, height: int) -> "ICPConfig":
+        return replace(
+            self,
+            projective_fx=float(fx),
+            projective_fy=float(fy),
+            projective_cx=float(cx),
+            projective_cy=float(cy),
+            projective_width=int(width),
+            projective_height=int(height),
+        )
+
+    def replace(self, **kw) -> "ICPConfig":
+        return replace(self, **kw)
+
+    def describe(self) -> str:
+        """Config banner, mirroring printICPConfiguration (ICPOptimizer.h:97-138)."""
+        lines = ["ICP configuration:"]
+        if self.color_icp:
+            lines.append("  Color-ICP enabled")
+        if self.multi_resolution:
+            lines.append("  Multi-Resolution ICP enabled")
+        lines.append(f"  1. Selection: {self.selection.name.lower()}"
+                     + (f" (p={self.selection_proba})" if self.selection == Selection.RANDOM else ""))
+        lines.append(f"  2. Matching: {self.matching.name.lower()} (max sq distance {self.max_distance})")
+        lines.append(f"  3. Weighting: {self.weighting.name.lower()}")
+        lines.append(f"  4. Rejection: {'angle of normals' if self.rejection else 'keep all'}")
+        lines.append(f"  5. Metric: {self.metric.name.lower()}")
+        lines.append(f"  6. Minimizer: {self.minimizer.name.lower()}, {self.n_iterations} iterations")
+        return "\n".join(lines)

@@ -1,0 +1,205 @@
+"""Linear (small-angle) point-to-plane and symmetric-ICP solvers.
+
+TPU-native re-design of ``LinearICPOptimizer``'s closed-form paths
+(ICPOptimizer.h:676-898). The reference materializes a dense ``4N x 6``
+system and runs JacobiSVD / FullPivLU on the host; here the 6x6 normal
+equations ``A^T A`` / ``A^T b`` are accumulated directly from per-point row
+blocks — one masked einsum that XLA fuses into an MXU reduction — and the
+tiny 6x6 solve happens on-chip.
+
+Numerics: the reference solves in-place at world scale; on TPU (f32) the
+point-to-plane system is preconditioned by centering both clouds at the
+matched-target mean, which is an exact reparametrization (the recovered pose
+is conjugated back by the centroid translation) and keeps A^T A
+well-conditioned at ETH scale. The symmetric path centers by construction,
+exactly like the reference (ICPOptimizer.h:795-807).
+
+Row layouts per match (weights fold in mask * per-match weight):
+* plane row  (lambda=1.0):  [n x s ; n] . x = n.(d - s)        (ICPOptimizer.h:698-710)
+* point rows (lambda=0.1):  small-angle  Ms + t - d            (ICPOptimizer.h:717-733)
+* symmetric row (lambda=1.0): [(s~+d~) x (ns+nt) ; ns+nt] . x = (d~-s~).(ns+nt)
+                                                               (ICPOptimizer.h:809-815)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from icp_variants_tpu.core import se3
+
+LAMBDA_POINT = 0.1       # ICPOptimizer.h:737
+LAMBDA_PLANE = 1.0       # ICPOptimizer.h:738
+LAMBDA_SYMMETRIC = 1.0   # ICPOptimizer.h:840
+TIKHONOV_SYMMETRIC = 1e-4  # ICPOptimizer.h:863
+
+
+def _point_rows(s: jax.Array) -> jax.Array:
+    """The three small-angle point-to-point rows per match, (N, 3, 6).
+
+    Row k solves coordinate k of ``Ms + t = d`` with
+    M = [[1, -g, b], [g, 1, -a], [-b, a, 1]] (ICPOptimizer.h:717-733).
+    """
+    n = s.shape[0]
+    zeros = jnp.zeros((n,), dtype=s.dtype)
+    ones = jnp.ones((n,), dtype=s.dtype)
+    r0 = jnp.stack([zeros, s[:, 2], -s[:, 1], ones, zeros, zeros], axis=1)
+    r1 = jnp.stack([-s[:, 2], zeros, s[:, 0], zeros, ones, zeros], axis=1)
+    r2 = jnp.stack([s[:, 1], -s[:, 0], zeros, zeros, zeros, ones], axis=1)
+    return jnp.stack([r0, r1, r2], axis=1)
+
+
+def _accumulate_normal_equations(
+    rows: jax.Array,  # (N, R, 6)
+    rhs: jax.Array,   # (N, R)
+    row_w: jax.Array, # (N, R) mask-and-lambda weights (rows scaled => residual weighted by w^2)
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    wr = rows * row_w[..., None]
+    wb = rhs * row_w
+    ata = jnp.einsum("nri,nrj->ij", wr, wr)
+    atb = jnp.einsum("nri,nr->i", wr, wb)
+    if axis_name is not None:
+        ata = jax.lax.psum(ata, axis_name)
+        atb = jax.lax.psum(atb, axis_name)
+    return ata, atb
+
+
+def estimate_pose_point_to_plane(
+    src: jax.Array,          # (N, 3) matched transformed source points
+    tgt: jax.Array,          # (N, 3) matched target points
+    tgt_normals: jax.Array,  # (N, 3)
+    weights: jax.Array,      # (N,)
+    valid: jax.Array,        # (N,) bool
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Linearized point-to-plane solve; returns the 4x4 incremental pose.
+
+    Pose recovery from Euler angles R = Rx(a) Ry(b) Rz(g) matches
+    ICPOptimizer.h:768-779.
+    """
+    m = valid.astype(src.dtype)
+    w = weights * m
+
+    # Precondition: rotate-about-centroid parametrization (see module doc).
+    center = se3.masked_mean(tgt, valid, axis_name=axis_name)
+    s = src - center
+    d = tgt - center
+    n = jnp.where(jnp.isfinite(tgt_normals), tgt_normals, 0.0)
+    finite_n = jnp.isfinite(tgt_normals).all(axis=1).astype(src.dtype)
+
+    rot_part = jnp.stack(
+        [
+            n[:, 2] * s[:, 1] - n[:, 1] * s[:, 2],
+            n[:, 0] * s[:, 2] - n[:, 2] * s[:, 0],
+            n[:, 1] * s[:, 0] - n[:, 0] * s[:, 1],
+        ],
+        axis=1,
+    )  # (ICPOptimizer.h:698-703) == cross(s, n)
+    plane_rows = jnp.concatenate([rot_part, n], axis=1)[:, None, :]  # (N, 1, 6)
+    plane_rhs = (jnp.sum(n * d, axis=1) - jnp.sum(n * s, axis=1))[:, None]
+
+    point_rows = _point_rows(s)                       # (N, 3, 6)
+    point_rhs = d - s                                 # (N, 3)
+
+    rows = jnp.concatenate([plane_rows, point_rows], axis=1)  # (N, 4, 6)
+    rhs = jnp.concatenate([plane_rhs, point_rhs], axis=1)     # (N, 4)
+    row_w = jnp.stack(
+        [
+            LAMBDA_PLANE * w * finite_n,
+            LAMBDA_POINT * w,
+            LAMBDA_POINT * w,
+            LAMBDA_POINT * w,
+        ],
+        axis=1,
+    )
+
+    ata, atb = _accumulate_normal_equations(rows, rhs, row_w, axis_name)
+    x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=ata.dtype), atb)
+
+    R = se3.euler_xyz_to_matrix(x[0], x[1], x[2])
+    pose_centered = se3.pose_matrix(R, x[3:6])
+    # Undo the centering reparametrization: T = Trans(c) T' Trans(-c).
+    return (
+        se3.translation_matrix(center)
+        @ pose_centered
+        @ se3.translation_matrix(-center)
+    )
+
+
+def estimate_pose_symmetric(
+    src: jax.Array,          # (N, 3) matched transformed source points
+    tgt: jax.Array,          # (N, 3) matched target points
+    src_normals: jax.Array,  # (N, 3) transformed source normals
+    tgt_normals: jax.Array,  # (N, 3)
+    weights: jax.Array,      # (N,)
+    valid: jax.Array,        # (N,) bool
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Symmetric ICP (Rusinkiewicz 2019) linear solve, ICPOptimizer.h:784-898.
+
+    Centers both clouds at their matched means, solves the normal equations
+    with Tikhonov 1e-4, recovers rotation from the a*tan(theta)
+    parametrization and composes
+    ``T(mu_t) . R . T(t) . R . T(-mu_s)`` exactly like the reference.
+    """
+    m = valid.astype(src.dtype)
+    w = weights * m
+
+    mean_src = se3.masked_mean(src, valid, axis_name=axis_name)
+    mean_tgt = se3.masked_mean(tgt, valid, axis_name=axis_name)
+    s = src - mean_src
+    d = tgt - mean_tgt
+
+    ns = jnp.where(jnp.isfinite(src_normals), src_normals, 0.0)
+    nt = jnp.where(jnp.isfinite(tgt_normals), tgt_normals, 0.0)
+    finite_n = (
+        jnp.isfinite(src_normals).all(axis=1) & jnp.isfinite(tgt_normals).all(axis=1)
+    ).astype(src.dtype)
+    n_sum = ns + nt
+
+    sym_rows = jnp.concatenate([jnp.cross(s + d, n_sum), n_sum], axis=1)[:, None, :]
+    sym_rhs = jnp.sum((d - s) * n_sum, axis=1)[:, None]
+
+    point_rows = _point_rows(s)
+    point_rhs = d - s
+
+    rows = jnp.concatenate([sym_rows, point_rows], axis=1)
+    rhs = jnp.concatenate([sym_rhs, point_rhs], axis=1)
+    row_w = jnp.stack(
+        [
+            LAMBDA_SYMMETRIC * w * finite_n,
+            LAMBDA_POINT * w,
+            LAMBDA_POINT * w,
+            LAMBDA_POINT * w,
+        ],
+        axis=1,
+    )
+
+    ata, atb = _accumulate_normal_equations(rows, rhs, row_w, axis_name)
+    ata = ata + (TIKHONOV_SYMMETRIC**2) * jnp.eye(6, dtype=ata.dtype)
+    x = jnp.linalg.solve(ata, atb)
+
+    a_tilde = x[:3]
+    t_tilde = x[3:6]
+    tan_theta = jnp.linalg.norm(a_tilde)
+    safe_tan = jnp.where(tan_theta > 1e-12, tan_theta, 1.0)
+    axis = a_tilde / safe_tan
+    sin_theta = tan_theta / jnp.sqrt(1.0 + tan_theta * tan_theta)
+    cos_theta = jnp.where(tan_theta > 1e-12, sin_theta / safe_tan, 1.0)
+    t = t_tilde * cos_theta
+
+    R = jnp.where(
+        tan_theta > 1e-12,
+        se3.rodrigues_matrix(axis, sin_theta, cos_theta),
+        jnp.eye(3, dtype=x.dtype),
+    )
+    rod = se3.pose_matrix(R, jnp.zeros(3, dtype=x.dtype))
+
+    return (
+        se3.translation_matrix(mean_tgt)
+        @ rod
+        @ se3.translation_matrix(t)
+        @ rod
+        @ se3.translation_matrix(-mean_src)
+    )

@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices (the standard way to exercise
+shard_map/psum code without a pod) unless ICP_TPU_TEST_ON_TPU=1 is set.
+
+Note: in this environment a TPU platform plugin force-registers itself and
+the JAX_PLATFORMS env var alone is not honored, so we additionally pin the
+platform through jax.config before any backend is initialized.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ON_TPU = os.environ.get("ICP_TPU_TEST_ON_TPU", "0") == "1"
+
+if not ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,114 @@
+"""Selection / weighting / rejection stage tests (reference: selection.h,
+weighting.h, ICPOptimizer.h:157-174)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_variants_tpu.ops import rejection, selection, weighting
+from icp_variants_tpu.pipeline.config import Weighting
+
+
+def _arrays(n=8):
+    rng = np.random.default_rng(0)
+    return weighting.MatchArrays(
+        src_points=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        tgt_points=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        src_normals=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        tgt_normals=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+        src_colors=jnp.asarray(rng.integers(0, 256, (n, 4)), jnp.float32),
+        tgt_colors=jnp.asarray(rng.integers(0, 256, (n, 4)), jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+
+
+class TestSelection:
+    def test_select_all_passthrough(self):
+        mask = jnp.asarray([True, False, True])
+        np.testing.assert_array_equal(
+            np.asarray(selection.select_all(mask)), np.asarray(mask)
+        )
+
+    def test_random_sampling_rate(self):
+        mask = jnp.ones((20000,), bool)
+        sel = selection.random_sampling(jax.random.PRNGKey(0), mask, 0.3)
+        rate = float(jnp.mean(sel))
+        assert 0.27 < rate < 0.33
+
+    def test_random_respects_base_mask(self):
+        base = jnp.zeros((100,), bool)
+        sel = selection.random_sampling(jax.random.PRNGKey(1), base, 0.9)
+        assert not bool(jnp.any(sel))
+
+
+class TestWeighting:
+    def test_constant(self):
+        m = _arrays()
+        w = weighting.apply_weights(Weighting.CONSTANT, m, 0.1)
+        np.testing.assert_allclose(np.asarray(w), 1.0)
+
+    def test_distances_formula(self):
+        m = _arrays()
+        w = np.asarray(weighting.apply_weights(Weighting.DISTANCES, m, 0.5))
+        d2 = np.sum(
+            (np.asarray(m.src_points) - np.asarray(m.tgt_points)) ** 2, axis=1
+        )
+        np.testing.assert_allclose(w, 1.0 - d2 / 0.5, rtol=1e-5)
+
+    def test_normals_formula(self):
+        m = _arrays()
+        w = np.asarray(weighting.apply_weights(Weighting.NORMALS, m, 0.5))
+        dot = np.sum(np.asarray(m.src_normals) * np.asarray(m.tgt_normals), axis=1)
+        np.testing.assert_allclose(w, dot, rtol=1e-5)
+
+    def test_colors_multiplies_distance_weight(self):
+        # COLORS = distance-weight * color-compatibility (weighting.h:56-87).
+        m = _arrays()
+        wd = np.asarray(weighting.apply_weights(Weighting.DISTANCES, m, 0.5))
+        wc = np.asarray(weighting.apply_weights(Weighting.COLORS, m, 0.5))
+        sc = np.asarray(m.src_colors)[:, :3]
+        tc = np.asarray(m.tgt_colors)[:, :3]
+        diff = np.mod(sc - tc, 256.0)  # uint8 wraparound (weighting.h:28)
+        color_term = 1.0 - np.sum(diff * diff, axis=1) / 195075.0
+        np.testing.assert_allclose(wc, wd * color_term, rtol=1e-4)
+
+    def test_nonfinite_gives_zero(self):
+        m = _arrays()
+        m = m._replace(src_points=m.src_points.at[0].set(jnp.nan))
+        w = np.asarray(weighting.apply_weights(Weighting.DISTANCES, m, 0.5))
+        assert w[0] == 0.0
+
+
+class TestRejection:
+    def test_sixty_degree_threshold(self):
+        src_n = jnp.asarray(
+            [[1, 0, 0], [1, 0, 0], [1, 0, 0]], jnp.float32
+        )
+        # Angles: 0deg (keep), 59deg (keep), 61deg (reject)
+        a59, a61 = np.deg2rad(59), np.deg2rad(61)
+        tgt_n = jnp.asarray(
+            [
+                [1, 0, 0],
+                [np.cos(a59), np.sin(a59), 0],
+                [np.cos(a61), np.sin(a61), 0],
+            ],
+            jnp.float32,
+        )
+        valid = jnp.ones((3,), bool)
+        out = np.asarray(rejection.normal_angle_mask(src_n, tgt_n, valid))
+        np.testing.assert_array_equal(out, [True, True, False])
+
+    def test_nan_normals_kept(self):
+        # C++ acos(nan) > threshold is false -> the match survives rejection
+        # (ICPOptimizer.h:170); parity preserved.
+        src_n = jnp.asarray([[jnp.nan, 0, 0]], jnp.float32)
+        tgt_n = jnp.asarray([[1, 0, 0]], jnp.float32)
+        out = np.asarray(
+            rejection.normal_angle_mask(src_n, tgt_n, jnp.ones((1,), bool))
+        )
+        assert out[0]
+
+    def test_respects_input_mask(self):
+        n = jnp.asarray([[1.0, 0, 0]], jnp.float32)
+        out = rejection.normal_angle_mask(n, n, jnp.zeros((1,), bool))
+        assert not bool(out[0])

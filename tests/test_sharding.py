@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: the sharded ICP step
+must agree with the single-device pipeline (psum-reduced solvers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from icp_variants_tpu.core.cloud import Cloud
+from icp_variants_tpu.parallel import sharded_icp
+from icp_variants_tpu.pipeline import icp
+from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer
+
+
+def _batch(n_pairs, cap, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.standard_normal((n_pairs, cap, 3)).astype(np.float32) * 0.1
+    nrm = rng.standard_normal((n_pairs, cap, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=2, keepdims=True)
+    col = rng.integers(0, 256, (n_pairs, cap, 4)).astype(np.float32)
+    valid = np.ones((n_pairs, cap), bool)
+    # Target = source rotated a little, same normals.
+    ang = 0.05
+    R = np.asarray(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    tgt = src @ R.T + 0.01
+    return src, nrm, col, valid, tgt, nrm @ R.T, col, valid
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return jax.make_mesh((2, 4), ("pairs", "points"))
+
+
+@pytest.mark.parametrize("minimizer", [Minimizer.LINEAR, Minimizer.NONLINEAR_LM])
+@pytest.mark.parametrize(
+    "metric", [Metric.POINT_TO_POINT, Metric.POINT_TO_PLANE, Metric.SYMMETRIC]
+)
+def test_sharded_matches_single_device(mesh, metric, minimizer):
+    cfg = ICPConfig(
+        metric=metric, minimizer=minimizer, max_distance=1.0,
+        lm_max_inner_iterations=3,
+    )
+    n_pairs, cap = 4, 512
+    arrays = _batch(n_pairs, cap)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_pairs, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_pairs)
+
+    step = sharded_icp.make_sharded_icp_step(cfg, mesh)
+    shard = lambda spec, x: jax.device_put(x, NamedSharding(mesh, spec))
+    sharded_args = [shard(P("pairs", "points"), a) for a in arrays[:4]]
+    sharded_args += [shard(P("pairs"), a) for a in arrays[4:]]
+    out_sharded = np.asarray(
+        step(*sharded_args, shard(P("pairs"), poses), shard(P("pairs"), keys))
+    )
+
+    # Single-device reference: the plain _iteration per pair.
+    gt = jnp.zeros((1, 3), jnp.float32)
+    gtv = jnp.ones((1,), bool)
+    out_ref = []
+    for i in range(n_pairs):
+        source = Cloud(
+            points=jnp.asarray(arrays[0][i]), normals=jnp.asarray(arrays[1][i]),
+            colors=jnp.asarray(arrays[2][i]), valid=jnp.asarray(arrays[3][i]),
+        )
+        target = Cloud(
+            points=jnp.asarray(arrays[4][i]), normals=jnp.asarray(arrays[5][i]),
+            colors=jnp.asarray(arrays[6][i]), valid=jnp.asarray(arrays[7][i]),
+        )
+        pose, _ = icp._iteration(
+            cfg, source, target, jnp.eye(4), jnp.asarray(1, jnp.int32), keys[i],
+            gt, gt, gtv, run_benchmark=False,
+        )
+        out_ref.append(np.asarray(pose))
+    out_ref = np.stack(out_ref)
+
+    np.testing.assert_allclose(out_sharded, out_ref, rtol=1e-3, atol=2e-5)
+
+
+def test_pair_axis_only_mesh():
+    """Pure data parallelism: a ('pairs', 1) mesh partitions pairs with no
+    cross-device reductions."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = jax.make_mesh((4, 1), ("pairs", "points"), devices=jax.devices()[:4])
+    cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0)
+    arrays = _batch(4, 256, seed=1)
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    step = sharded_icp.make_sharded_icp_step(cfg, mesh)
+    shard = lambda spec, x: jax.device_put(x, NamedSharding(mesh, spec))
+    sharded_args = [shard(P("pairs", "points"), a) for a in arrays[:4]]
+    sharded_args += [shard(P("pairs"), a) for a in arrays[4:]]
+    out = np.asarray(
+        step(*sharded_args, shard(P("pairs"), poses), shard(P("pairs"), keys))
+    )
+    assert out.shape == (4, 4, 4)
+    assert np.isfinite(out).all()
