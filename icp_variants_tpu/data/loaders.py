@@ -91,3 +91,83 @@ class BunnyDataLoader(DataLoader):
         src = self.source_mesh.vertices[list(self.GT_SOURCE_INDICES)]
         tgt = self.target_mesh.vertices[list(self.GT_TARGET_INDICES)]
         return src, tgt
+
+
+class ETHDataLoader(DataLoader):
+    """ETH laser-registration benchmark loader (ETHDataLoader.h:11-107).
+
+    Reads a pose CSV (``eth/plain_global.csv``-style: per-row source/target
+    .pcd filenames + a 3x4 GT pose in columns 4..15), loads both clouds via
+    the numpy .pcd reader, and estimates normals with the k=5 k-NN PCA op
+    (the PCL ``NormalEstimation`` equivalent, PointCloud.h:41-76).
+
+    ``capacity`` pads every cloud of the sequence to one static shape so all
+    pairs share a single compiled ICP executable — pass e.g. the max cloud
+    size of the dataset.
+    """
+
+    def __init__(
+        self,
+        csv_path: str,
+        data_root: str | None = None,
+        capacity: int | None = None,
+        estimate_normals: bool = True,
+        normal_k: int = 5,
+    ):
+        import csv as _csv
+
+        self.csv_path = csv_path
+        # dataName: basename without .csv and the _local/_global suffix
+        # (ETHDataLoader.h:20-24).
+        name = os.path.basename(csv_path)
+        for suffix in (".csv",):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+        for suffix in ("_local", "_global"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+        self.data_name = name
+        self.data_root = data_root or os.path.dirname(csv_path)
+        self.capacity = capacity
+        self.estimate_normals = estimate_normals
+        self.normal_k = normal_k
+
+        with open(csv_path, newline="") as f:
+            rows = list(_csv.reader(f))
+        self.rows = [r for r in rows if r]  # first row is the header
+
+    def get_length(self) -> int:
+        return len(self.rows) - 1
+
+    def _load_cloud(self, pcd_name: str) -> Cloud:
+        from icp_variants_tpu.data import pcd_io
+
+        path = os.path.join(self.data_root, self.data_name, pcd_name)
+        pts = pcd_io.read_pcd(path)
+        normals = None
+        if self.estimate_normals:
+            import jax.numpy as jnp
+
+            from icp_variants_tpu.ops import normals as normals_ops
+
+            finite = np.isfinite(pts).all(axis=1)
+            normals = np.asarray(
+                normals_ops.estimate_normals_knn(
+                    jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
+                )
+            )
+        return cloud_lib.from_numpy(pts, normals=normals, capacity=self.capacity)
+
+    def get_item(self, index: int) -> Sample:
+        if index >= self.get_length():
+            raise IndexError(
+                f"index {index} out of range, only {self.get_length()} samples"
+            )
+        row = self.rows[index + 1]
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :4] = np.asarray([float(x) for x in row[4:16]], np.float32).reshape(3, 4)
+        return Sample(
+            source=self._load_cloud(row[1]),
+            target=self._load_cloud(row[2]),
+            pose=pose,
+        )

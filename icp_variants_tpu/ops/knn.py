@@ -178,6 +178,31 @@ def nn_search_pallas(
     return idx[:nq, 0], dist[:nq, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_k(
+    queries: jax.Array, targets: jax.Array, k: int, *, chunk: int = 1024
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN (small k) via chunked distance tiles + top_k.
+
+    Used by the PCL-style normal estimation (k=5, PointCloud.h:53) — runs
+    once per cloud at load time, so the dense chunked form is fine on every
+    backend. Returns ``(indices (N,k), dist2 (N,k))`` sorted ascending.
+    """
+    n = queries.shape[0]
+    qp = _pad_rows(queries, chunk, 0.0)
+    t_norm2 = jnp.sum(targets * targets, axis=1)
+
+    def one_chunk(q):
+        g = jnp.dot(q, targets.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.sum(q * q, axis=1, keepdims=True) + t_norm2[None, :] - 2.0 * g
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg
+
+    num_chunks = qp.shape[0] // chunk
+    idx, d2 = jax.lax.map(one_chunk, qp.reshape(num_chunks, chunk, -1))
+    return idx.reshape(-1, k)[:n], d2.reshape(-1, k)[:n]
+
+
 def nn_search(
     queries: jax.Array, targets: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -1,0 +1,147 @@
+"""ETH laser-registration benchmark — the headline workload.
+
+Equivalent of ``alignETH`` (main.cpp:343-514): for every scan pair of an
+ETH sequence, perturb the source by the (0.1-scaled) ground-truth pose,
+register with 50 ICP iterations at max squared distance 10, and record
+RMSE + the Fontana benchmark error per iteration (the oracle is the
+unperturbed source cloud itself, main.cpp:417-439).
+
+Two pose-scaling conventions exist in the reference — main.cpp:419-429
+scales the Euler angles and translation by 0.1, experiment.cpp:327-328
+applies the unscaled pose; ``pose_scaling`` selects either.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_variants_tpu.core import cloud as cloud_lib
+from icp_variants_tpu.core import se3
+from icp_variants_tpu.data.loaders import ETHDataLoader
+from icp_variants_tpu.pipeline import icp, measure
+from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer, Selection
+
+
+def default_config(**overrides) -> ICPConfig:
+    """The ETH run configuration of main.cpp:360-398."""
+    cfg = ICPConfig(
+        metric=Metric.POINT_TO_POINT,
+        minimizer=Minimizer.NONLINEAR_LM,
+        n_iterations=50,
+        max_distance=10.0,
+    )
+    return cfg.replace(**overrides)
+
+
+def scale_pose(pose: np.ndarray, scaling: float) -> np.ndarray:
+    """Scale a pose by factor ``scaling`` through Euler angles + translation
+    (main.cpp:419-429, Eigen eulerAngles(0,1,2) convention)."""
+    abg = np.asarray(se3.matrix_to_euler_xyz(jnp.asarray(pose[:3, :3])))
+    abg = abg * scaling
+    R = np.asarray(se3.euler_xyz_to_matrix(*[jnp.float32(a) for a in abg]))
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R
+    out[:3, 3] = scaling * pose[:3, 3]
+    return out
+
+
+def perturb_cloud(cloud: cloud_lib.Cloud, pose: np.ndarray) -> cloud_lib.Cloud:
+    """Apply a pose to points AND normals (rotation-only for normals),
+    matching ``PointCloud::change_pose`` (PointCloud.h:277-282)."""
+    pts = np.asarray(cloud.points) @ pose[:3, :3].T + pose[:3, 3]
+    valid = np.asarray(cloud.valid)
+    pts = np.where(valid[:, None], pts, cloud_lib.PAD_SENTINEL)
+    nrm = np.asarray(cloud.normals) @ pose[:3, :3].T
+    return cloud._replace(
+        points=jnp.asarray(pts.astype(np.float32)),
+        normals=jnp.asarray(nrm.astype(np.float32)),
+    )
+
+
+@dataclass
+class ETHPairResult:
+    index: int
+    initial_error: float
+    final_error: float
+    initial_rmse: float
+    final_rmse: float
+    rmse_per_iteration: np.ndarray
+    benchmark_per_iteration: np.ndarray
+    pose: np.ndarray
+
+
+@dataclass
+class ETHRunResult:
+    pairs: list = field(default_factory=list)
+    min_error: float = float("inf")
+    index_min_error: int = -1
+    min_relative_error: float = 1.0
+    index_min_relative_error: int = -1
+
+    @property
+    def final_errors(self) -> np.ndarray:
+        return np.asarray([p.final_error for p in self.pairs])
+
+
+def align_eth(
+    csv_path: str,
+    cfg: ICPConfig | None = None,
+    pose_scaling: float = 0.1,
+    data_root: str | None = None,
+    capacity: int | None = None,
+    max_pairs: int | None = None,
+    seed: int = 0,
+) -> ETHRunResult:
+    if not (0.0 < pose_scaling <= 1.0):
+        raise ValueError("pose scaling must be in (0, 1]")  # main.cpp:346-349
+    cfg = cfg or default_config()
+    loader = ETHDataLoader(csv_path, data_root=data_root, capacity=capacity)
+    result = ETHRunResult()
+
+    n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
+    for index in range(n):
+        sample = loader.get_item(index)
+        original_points = np.asarray(sample.source.points)
+        scaled = scale_pose(sample.pose, pose_scaling)
+        source = perturb_cloud(sample.source, scaled)
+        gt_valid = np.asarray(source.valid)
+
+        eye = jnp.eye(4)
+        initial_error = float(jax.device_get(measure.benchmark_error(
+            eye, source.points, jnp.asarray(original_points), source.valid)))
+        initial_rmse = float(jax.device_get(measure.rmse_alignment_error(
+            eye, source.points, jnp.asarray(original_points), source.valid)))
+
+        res = icp.run_icp(
+            cfg, source, sample.target,
+            gt_source_points=np.asarray(source.points),
+            gt_target_points=original_points,
+            gt_valid=gt_valid,
+            key=jax.random.PRNGKey(seed + index),
+            run_benchmark=True,
+        )
+        rmse = np.asarray(jax.device_get(res.trace.rmse))
+        bench = np.asarray(jax.device_get(res.trace.benchmark))
+        final_error = float(bench[-1])
+
+        result.pairs.append(ETHPairResult(
+            index=index,
+            initial_error=initial_error,
+            final_error=final_error,
+            initial_rmse=initial_rmse,
+            final_rmse=float(rmse[-1]),
+            rmse_per_iteration=rmse,
+            benchmark_per_iteration=bench,
+            pose=np.asarray(jax.device_get(res.pose)),
+        ))
+        if final_error < result.min_error:
+            result.min_error, result.index_min_error = final_error, index
+        rel = final_error / max(initial_error, 1e-30)
+        if rel < result.min_relative_error:
+            result.min_relative_error, result.index_min_relative_error = rel, index
+
+    return result

@@ -1,0 +1,107 @@
+"""Depth back-projection + normal estimation tests (reference:
+PointCloud.h:78-165 and 41-76)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_variants_tpu.ops import normals
+
+
+def synthetic_plane_depth(h=32, w=40, z=2.0):
+    return np.full((h, w), z, np.float32)
+
+
+class TestBackprojection:
+    def test_flat_plane(self):
+        h, w = 32, 40
+        depth = synthetic_plane_depth(h, w)
+        K = np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]], np.float32)
+        pts, nrm, vp, vn = normals.backproject_depth(
+            jnp.asarray(depth), jnp.asarray(K), jnp.eye(4), max_distance=0.1
+        )
+        pts, nrm = np.asarray(pts), np.asarray(nrm)
+        vp, vn = np.asarray(vp), np.asarray(vn)
+        assert vp.all()
+        # All interior normals of a fronto-parallel plane point along -z?
+        # normal = (-du, -dv, 1) = (0, 0, 1) normalized.
+        interior = vn.reshape(h, w)[1:-1, 1:-1]
+        assert interior.all()
+        nz = nrm.reshape(h, w, 3)[1:-1, 1:-1, 2]
+        np.testing.assert_allclose(nz, 1.0, atol=1e-6)
+        # Depth z at the principal point back-projects to (0, 0, z).
+        center = pts.reshape(h, w, 3)[h // 2, w // 2]
+        np.testing.assert_allclose(center, [0.0, 0.0, 2.0], atol=1e-5)
+
+    def test_invalid_depth_masked(self):
+        depth = synthetic_plane_depth()
+        depth[5, 7] = -np.inf
+        K = np.array([[50.0, 0, 20], [0, 50.0, 16], [0, 0, 1]], np.float32)
+        pts, nrm, vp, vn = normals.backproject_depth(
+            jnp.asarray(depth), jnp.asarray(K), jnp.eye(4)
+        )
+        vp = np.asarray(vp).reshape(depth.shape)
+        vn = np.asarray(vn).reshape(depth.shape)
+        assert not vp[5, 7]
+        # Neighbors using the bad pixel in their central difference die too.
+        assert not vn[5, 6] and not vn[5, 8] and not vn[4, 7] and not vn[6, 7]
+
+    def test_gradient_rejection(self):
+        # A depth step larger than max_distance/2 invalidates the normal.
+        depth = synthetic_plane_depth()
+        depth[:, 20:] += 1.0
+        K = np.array([[50.0, 0, 20], [0, 50.0, 16], [0, 0, 1]], np.float32)
+        _, _, _, vn = normals.backproject_depth(
+            jnp.asarray(depth), jnp.asarray(K), jnp.eye(4), max_distance=0.1
+        )
+        vn = np.asarray(vn).reshape(depth.shape)
+        assert not vn[10, 19] and not vn[10, 20]
+        assert vn[10, 10] and vn[10, 30]
+
+    def test_borders_invalid(self):
+        depth = synthetic_plane_depth()
+        K = np.array([[50.0, 0, 20], [0, 50.0, 16], [0, 0, 1]], np.float32)
+        _, _, _, vn = normals.backproject_depth(
+            jnp.asarray(depth), jnp.asarray(K), jnp.eye(4)
+        )
+        vn = np.asarray(vn).reshape(depth.shape)
+        assert not vn[0].any() and not vn[-1].any()
+        assert not vn[:, 0].any() and not vn[:, -1].any()
+
+
+class TestSmallestEigenvector:
+    def test_matches_numpy_eigh(self):
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((50, 10, 3))
+        covs = np.einsum("nki,nkj->nij", X, X) / 10
+        v = np.asarray(normals.smallest_eigenvector_sym3(jnp.asarray(covs, jnp.float32)))
+        for i in range(50):
+            w_, V = np.linalg.eigh(covs[i])
+            ref = V[:, 0]
+            dot = abs(v[i] @ ref)
+            assert dot > 0.999, (i, dot)
+
+
+class TestKnnNormals:
+    def test_plane_normals(self):
+        rng = np.random.default_rng(1)
+        pts = np.column_stack(
+            [rng.uniform(-1, 1, 300), rng.uniform(-1, 1, 300), np.full(300, 2.0)]
+        ).astype(np.float32)
+        n = np.asarray(
+            normals.estimate_normals_knn(
+                jnp.asarray(pts), jnp.ones(300, bool), k=5
+            )
+        )
+        # Plane z=2 normals: +-z, oriented toward viewpoint (origin) => -z.
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+        assert (n[:, 2] < 0).all()
+
+    def test_invalid_rows_nan(self):
+        pts = np.random.default_rng(2).standard_normal((64, 3)).astype(np.float32)
+        valid = np.ones(64, bool)
+        valid[3] = False
+        n = np.asarray(
+            normals.estimate_normals_knn(jnp.asarray(pts), jnp.asarray(valid), k=5)
+        )
+        assert np.isnan(n[3]).all()
+        assert np.isfinite(n[valid]).all()

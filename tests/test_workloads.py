@@ -1,0 +1,178 @@
+"""Workload-level end-to-end tests: TUM room tracking, ETH benchmark sweep,
+experiment harness (references: main.cpp:183-514, experiment.cpp)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from icp_variants_tpu.data import pcd_io
+from icp_variants_tpu.pipeline.config import (
+    ICPConfig, Matching, Metric, Minimizer, Selection,
+)
+from icp_variants_tpu.workloads import eth, experiments, room
+
+H, W = 48, 64
+
+
+def make_wavy_tum_dataset(root, n_frames=3, shift_per_frame=0.005):
+    """Small TUM sequence: a wavy surface translated along +x each frame,
+    with a consistent ground-truth trajectory."""
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    fx = 525.0 * W / 640
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    fy = 525.0 * H / 480
+    vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+
+    depth_lines, rgb_lines, gt_lines = [], [], []
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        ts = 100.0 + i * 0.1
+        # Surface z(x, y) in WORLD coordinates; camera i at x = -shift*i
+        # looking down +z (camera coords = world shifted by +shift*i in x).
+        # depth(u,v) solves z for the pixel ray; with a height field over x,
+        # iterate once (wave is gentle).
+        shift = shift_per_frame * i
+        z = np.full((H, W), 2.0)
+        for _ in range(8):
+            x_world = (uu - cx) / fx * z - shift
+            y_world = (vv - cy) / fy * z
+            z = 2.0 + 0.12 * np.sin(4.0 * x_world) * np.cos(4.0 * y_world)
+        depth_png = np.round(z * 5000).astype(np.uint16)
+        dname, cname = f"depth/{i}.png", f"rgb/{i}.png"
+        Image.fromarray(depth_png).save(os.path.join(root, dname))
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        Image.fromarray(rgb, "RGB").save(os.path.join(root, cname))
+        depth_lines.append(f"{ts} {dname}")
+        rgb_lines.append(f"{ts} {cname}")
+        # Camera-to-world: translation (-shift, 0, 0); quaternion identity.
+        gt_lines.append(f"{ts} {-shift} 0 0 0 0 0 1")
+    for name, lines in (
+        ("depth.txt", depth_lines), ("rgb.txt", rgb_lines),
+        ("groundtruth.txt", gt_lines),
+    ):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("# h\n# h\n# h\n" + "\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def tum_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tum")
+    make_wavy_tum_dataset(str(d))
+    return str(d)
+
+
+class TestRoom:
+    @pytest.mark.parametrize("matching", [Matching.KNN, Matching.PROJECTIVE])
+    def test_tracks_frames(self, tum_dir, matching, monkeypatch):
+        from icp_variants_tpu.data import tum as tum_mod
+
+        cfg = room.default_config(
+            metric=Metric.POINT_TO_PLANE,
+            minimizer=Minimizer.LINEAR,
+            matching=matching,
+            n_iterations=25,
+            max_distance=0.1,
+        )
+        # Shrink the sensor to the synthetic resolution for test speed.
+        old_init = tum_mod.VirtualSensor.__init__
+
+        def patched(self, dataset_dir, increment=1, width=640, height=480):
+            old_init(self, dataset_dir, increment=increment, width=W, height=H)
+
+        monkeypatch.setattr(tum_mod.VirtualSensor, "__init__", patched)
+        res = room.reconstruct_room(tum_dir, cfg, frame_step=1, max_frames=1, seed=0)
+
+        assert len(res.final_rmse) == 2
+        for init_r, final_r in zip(res.initial_rmse, res.final_rmse):
+            # Every frame improves on its initial error. k-NN correspondences
+            # slide on smooth surfaces and stall at the NN fixed point, so
+            # only projective gets an absolute accuracy bound — the same
+            # k-NN-vs-projective gap the reference presentation reports on
+            # TUM freiburg1_xyz.
+            assert final_r < max(init_r, 1e-4) * 0.95
+        assert res.final_rmse[-1] < 8e-3
+
+
+def make_eth_sequence(tmp_path, n_points=400, n_pairs=2):
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "plain"
+    data_dir.mkdir()
+    rows = []
+    for i in range(n_pairs):
+        # A wavy surface; source = target transformed by a known pose.
+        xy = rng.uniform(-2, 2, (n_points, 2))
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        tgt = np.column_stack([xy, z]).astype(np.float32)
+        ang = 0.08
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+            np.float32,
+        )
+        t = np.array([0.05, -0.03, 0.02], np.float32)
+        # GT pose maps original source -> perturbed; the driver perturbs the
+        # source with it, so store source = target here and pose = (R, t).
+        pcd_io.write_pcd(str(data_dir / f"t{i}.pcd"), tgt)
+        pcd_io.write_pcd(str(data_dir / f"s{i}.pcd"), tgt)
+        pose = np.concatenate([R, t[:, None]], axis=1).reshape(-1)
+        rows.append(
+            f"{i},s{i}.pcd,t{i}.pcd,0.9," + ",".join(f"{x:.6f}" for x in pose)
+        )
+    csv_path = tmp_path / "plain_global.csv"
+    with open(csv_path, "w") as f:
+        f.write("id,source,target,overlap," + ",".join(f"t{k}" for k in range(12)) + "\n")
+        f.write("\n".join(rows) + "\n")
+    return str(csv_path)
+
+
+class TestETH:
+    def test_benchmark_sweep(self, tmp_path):
+        csv_path = make_eth_sequence(tmp_path)
+        cfg = eth.default_config(
+            metric=Metric.POINT_TO_PLANE,
+            minimizer=Minimizer.LINEAR,
+            n_iterations=15,
+            max_distance=0.05,
+        )
+        res = eth.align_eth(csv_path, cfg, pose_scaling=0.5, seed=0)
+        assert len(res.pairs) == 2
+        for p in res.pairs:
+            assert p.final_error < p.initial_error * 0.5
+            assert p.final_rmse < p.initial_rmse * 0.5
+        assert 0 <= res.index_min_error < 2
+
+    def test_pose_scaling_validation(self, tmp_path):
+        csv_path = make_eth_sequence(tmp_path, n_pairs=1)
+        with pytest.raises(ValueError):
+            eth.align_eth(csv_path, pose_scaling=0.0)
+
+    def test_scale_pose_identity(self):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = (1, 2, 3)
+        half = eth.scale_pose(pose, 0.5)
+        np.testing.assert_allclose(half[:3, 3], (0.5, 1.0, 1.5), atol=1e-6)
+        np.testing.assert_allclose(half[:3, :3], np.eye(3), atol=1e-6)
+
+
+class TestExperiments:
+    def test_bunny_rows_and_resume(self, tmp_path):
+        csv_path = tmp_path / "exp.csv"
+        with open(csv_path, "w") as f:
+            f.write(
+                "expName,expType,useLinear,useMetric,matchingMethod,"
+                "selectionMethod,weightingMethod,useMultiresolution,"
+                "numIterations,maxMatchingDist,samplingProba\n"
+            )
+            f.write("b0,bunny,1,1,0,0,0,0,5,0.0003,1.0\n")
+            f.write("b1,bunny,1,2,0,0,1,0,5,0.0003,1.0\n")
+        out_dir = str(tmp_path / "out")
+        summary = experiments.run_experiments(str(csv_path), out_dir=out_dir)
+        assert len(summary) == 2
+        assert os.path.exists(os.path.join(out_dir, "b0_RMSE.txt"))
+        vals = np.loadtxt(os.path.join(out_dir, "b0_RMSE.txt"))
+        assert vals.shape == (5,)
+        # Resume: re-run touches nothing new (same summary back).
+        summary2 = experiments.run_experiments(str(csv_path), out_dir=out_dir)
+        assert summary2 == summary
