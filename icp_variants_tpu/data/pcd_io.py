@@ -35,6 +35,7 @@ def read_pcd(path: str) -> np.ndarray:
             header[key.upper()] = rest.split()
             if key.upper() == "DATA":
                 break
+        body_offset = f.tell()
         body = f.read()
 
     fields = [s.lower() for s in header["FIELDS"]]
@@ -45,9 +46,13 @@ def read_pcd(path: str) -> np.ndarray:
     data_kind = header["DATA"][0].lower()
 
     if data_kind == "ascii":
-        text = body.decode("ascii", errors="replace")
-        arr = np.array(text.split(), dtype=np.float64)
         row_len = sum(counts)
+        from icp_variants_tpu.runtime import native
+
+        arr = native.parse_floats(path, body_offset, n_points * row_len)
+        if arr is None or arr.size != n_points * row_len:
+            text = body.decode("ascii", errors="replace")
+            arr = np.array(text.split(), dtype=np.float64)
         arr = arr[: n_points * row_len].reshape(n_points, row_len)
         cols = {}
         off = 0

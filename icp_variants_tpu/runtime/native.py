@@ -1,0 +1,88 @@
+"""ctypes bridge to the native IO runtime (native/icpio.cpp).
+
+Builds ``libicpio.so`` on first use (``make`` in native/) and exposes the
+fast whitespace-float scanner. Every caller has a numpy fallback, so the
+framework works without a compiler; with one, ETH-scale ASCII parsing gets
+10-50x faster.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libicpio.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True, timeout=120,
+                )
+            except Exception:
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.icpio_parse_floats.restype = ctypes.c_int64
+            lib.icpio_parse_floats.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ]
+            lib.icpio_parse_floats_f32.restype = ctypes.c_int64
+            lib.icpio_parse_floats_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ]
+            _lib = lib
+        except Exception:
+            _load_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_floats(
+    path: str, offset: int, max_count: int, dtype=np.float64
+) -> np.ndarray | None:
+    """Parse whitespace-separated numbers from ``path`` starting at byte
+    ``offset``. Returns the parsed array, or None if the native library is
+    unavailable (callers fall back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if dtype == np.float32:
+        out = np.empty(max_count, np.float32)
+        n = lib.icpio_parse_floats_f32(
+            path.encode(), offset,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_count,
+        )
+    else:
+        out = np.empty(max_count, np.float64)
+        n = lib.icpio_parse_floats(
+            path.encode(), offset,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_count,
+        )
+    if n < 0:
+        raise IOError(f"icpio failed to read {path}")
+    return out[:n]

@@ -1,0 +1,59 @@
+"""Auxiliary subsystem tests: per-stage profiling, analysis scripts
+(references: TimeMeasure.h, errors_statistic.py, generatePlot.py,
+Data/convert.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from icp_variants_tpu.analysis import convert, errors_statistic
+from icp_variants_tpu.data.loaders import BunnyDataLoader
+from icp_variants_tpu.pipeline import profiling
+from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer
+
+
+class TestProfiling:
+    def test_stage_breakdown(self):
+        loader = BunnyDataLoader()
+        sample = loader.get_item(0)
+        cfg = ICPConfig(metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR)
+        times = profiling.profile_stages(cfg, sample.source, sample.target, repetitions=2)
+        assert times.matching > 0
+        assert times.solver > 0
+        report = times.report()
+        assert "matching" in report and "solver" in report
+
+
+class TestAnalysis:
+    def test_describe(self):
+        stats = errors_statistic.describe(np.asarray([1.0, 2.0, 3.0, 4.0]))
+        assert stats["count"] == 4
+        assert stats["mean"] == pytest.approx(2.5)
+        assert stats["50%"] == pytest.approx(2.5)
+
+    def test_errors_statistic_cli(self, tmp_path, capsys):
+        p = str(tmp_path / "e.txt")
+        np.savetxt(p, [0.1, 0.2, 0.3])
+        assert errors_statistic.main([p]) == 0
+        out = capsys.readouterr().out
+        assert "mean" in out
+
+    def test_convert(self, tmp_path):
+        src = tmp_path / "in.txt"
+        dst = tmp_path / "out.csv"
+        src.write_text("a b c\n1 2 3\n\n")
+        convert.convert(str(src), str(dst))
+        assert dst.read_text() == "a,b,c\n1,2,3\n"
+
+    def test_generate_plot(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from icp_variants_tpu.analysis import generate_plot
+
+        f1 = str(tmp_path / "a.txt")
+        f2 = str(tmp_path / "b.txt")
+        np.savetxt(f1, np.linspace(1, 0.1, 10))
+        np.savetxt(f2, np.linspace(0.8, 0.05, 10))
+        out = str(tmp_path / "plot.png")
+        generate_plot.plot_curves([f1, f2], ["a", "b"], out)
+        assert os.path.getsize(out) > 1000
