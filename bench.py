@@ -67,8 +67,8 @@ def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
         n_iterations=N_ITERATIONS,
         max_distance=MAX_DISTANCE,
     )
-    source = cloud_lib.from_numpy(src_pts, normals=src_nrm)
-    target = cloud_lib.from_numpy(tgt_pts, normals=tgt_nrm)
+    source = cloud_lib.from_numpy(src_pts, normals=src_nrm, morton_order=True)
+    target = cloud_lib.from_numpy(tgt_pts, normals=tgt_nrm, morton_order=True)
 
     def run(seed):
         res = icp.run_icp(cfg, source, target, key=jax.random.PRNGKey(seed))

@@ -21,6 +21,24 @@ reference C++ implementation (see /root/reference, cited per-module as
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: ICP programs are large (scan + Pallas) and
+# TPU compiles over this environment's tunnel are slow; caching makes every
+# process after the first start in seconds. Override with ICP_TPU_JAX_CACHE
+# (set to "0"/"off" to disable).
+_cache = _os.environ.get(
+    "ICP_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
+if _cache.lower() not in ("0", "off", ""):
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
+
 from icp_variants_tpu.core.cloud import Cloud
 from icp_variants_tpu.pipeline.config import (
     ICPConfig,

@@ -75,15 +75,35 @@ def from_numpy(
     colors: np.ndarray | None = None,
     valid: np.ndarray | None = None,
     capacity: int | None = None,
+    morton_order: bool = False,
 ) -> Cloud:
     """Build a padded :class:`Cloud` from host arrays.
 
     ``capacity`` lets callers force a common padded size across a dataset so
     every scan pair shares one compiled executable (critical for the ETH
     sweep: one XLA program, 45 pairs).
+
+    ``morton_order=True`` reorders rows along a Z-order curve on the host,
+    making fixed-size row tiles spatially compact — the layout the
+    bbox-pruned k-NN kernel exploits. Do NOT enable for image-shaped clouds
+    (projective matching and image-order striding need pixel layout); note
+    it also changes WHICH points a multires stride level picks (a different
+    but equally arbitrary subsample than the reference's image-order
+    stride).
     """
     points = np.asarray(points, dtype=np.float32)
     n = points.shape[0]
+    if morton_order and n > 0:
+        from icp_variants_tpu.ops.knn import morton_codes_np
+
+        order = np.argsort(morton_codes_np(points), kind="stable")
+        points = points[order]
+        if normals is not None:
+            normals = np.asarray(normals, dtype=np.float32)[order]
+        if colors is not None:
+            colors = np.asarray(colors, dtype=np.float32)[order]
+        if valid is not None:
+            valid = np.asarray(valid, dtype=bool)[order]
     cap = capacity if capacity is not None else _round_up(max(n, 1), PAD_MULTIPLE)
     if cap < n:
         raise ValueError(f"capacity {cap} < number of points {n}")

@@ -156,7 +156,9 @@ class ETHDataLoader(DataLoader):
                     jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
                 )
             )
-        return cloud_lib.from_numpy(pts, normals=normals, capacity=self.capacity)
+        return cloud_lib.from_numpy(
+            pts, normals=normals, capacity=self.capacity, morton_order=True
+        )
 
     def get_item(self, index: int) -> Sample:
         if index >= self.get_length():

@@ -29,6 +29,7 @@ such rows unelectable.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -93,45 +94,58 @@ def nn_search_xla(
 # ---------------------------------------------------------------------------
 
 
-def _nn_kernel(q_ref, t_ref, qn2_ref, tn2_ref, dist_ref, idx_ref):
-    """One (query-tile, target-tile) cell: distances + running argmin.
+def _make_nn_kernel(tile_t: int):
+    def _nn_kernel(q_ref, t_ref, qn2_ref, tn2_ref, dist_ref, idx_ref):
+        """One (query-tile, target-tile) cell: distances + running argmin.
 
-    Grid = (num_q_tiles, num_t_tiles) with the target axis innermost; the
-    output block for query tile i is revisited for every j, carrying the
-    running minimum in VMEM (canonical reduction-over-grid pattern).
-    """
-    j = pl.program_id(1)
+        Grid = (num_q_tiles, num_t_tiles) with the target axis innermost; the
+        output block for query tile i is revisited for every j, carrying the
+        running minimum in VMEM (canonical reduction-over-grid pattern).
+        """
+        j = pl.program_id(1)
 
-    # HIGHEST precision: TPU matmuls default to bf16 passes, which loses the
-    # mantissa bits that decide near-tie nearest neighbors. With exact-f32
-    # passes the kernel is bit-faithful for 1-NN at scan-registration scales.
-    g = jax.lax.dot_general(
-        q_ref[:],
-        t_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [TILE_Q, TILE_T]
-    d2 = qn2_ref[:] + tn2_ref[:] - 2.0 * g
+        # HIGHEST precision: TPU matmuls default to bf16 passes, which loses
+        # the mantissa bits that decide near-tie nearest neighbors. With
+        # exact-f32 passes the kernel is bit-faithful for 1-NN at
+        # scan-registration scales.
+        g = jax.lax.dot_general(
+            q_ref[:],
+            t_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [tile_q, tile_t]
+        d2 = qn2_ref[:] + tn2_ref[:] - 2.0 * g
 
-    local_min = jnp.min(d2, axis=1, keepdims=True)
-    local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32).reshape(-1, 1) + j * TILE_T
+        local_min = jnp.min(d2, axis=1, keepdims=True)
+        local_arg = (
+            jnp.argmin(d2, axis=1).astype(jnp.int32).reshape(-1, 1) + j * tile_t
+        )
 
-    @pl.when(j == 0)
-    def _():
-        dist_ref[:] = local_min
-        idx_ref[:] = local_arg
+        @pl.when(j == 0)
+        def _():
+            dist_ref[:] = local_min
+            idx_ref[:] = local_arg
 
-    @pl.when(j > 0)
-    def _():
-        better = local_min < dist_ref[:]
-        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
-        dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+        @pl.when(j > 0)
+        def _():
+            better = local_min < dist_ref[:]
+            idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+            dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+
+    return _nn_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_q", "tile_t")
+)
 def nn_search_pallas(
-    queries: jax.Array, targets: jax.Array, *, interpret: bool = False
+    queries: jax.Array,
+    targets: jax.Array,
+    *,
+    interpret: bool = False,
+    tile_q: int = TILE_Q,
+    tile_t: int = TILE_T,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact 1-NN as a Pallas TPU kernel.
 
@@ -141,27 +155,27 @@ def nn_search_pallas(
     they never win.
     """
     nq = queries.shape[0]
-    q = _pad_rows(_pad_features(queries), TILE_Q, 0.0)
+    q = _pad_rows(_pad_features(queries), tile_q, 0.0)
     # Sentinel 1e6 -> dist2 ~ 1e13, dwarfs any real match but stays finite.
-    t = _pad_rows(_pad_features(targets), TILE_T, 1.0e6)
+    t = _pad_rows(_pad_features(targets), tile_t, 1.0e6)
 
     qn2 = jnp.sum(q * q, axis=1, keepdims=True)               # (Nq, 1)
     tn2 = jnp.sum(t * t, axis=1).reshape(1, -1)               # (1, Nt)
 
-    grid = (q.shape[0] // TILE_Q, t.shape[0] // TILE_T)
+    grid = (q.shape[0] // tile_q, t.shape[0] // tile_t)
 
     dist, idx = pl.pallas_call(
-        _nn_kernel,
+        _make_nn_kernel(tile_t),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_Q, FEATURE_PAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, FEATURE_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, FEATURE_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
@@ -172,10 +186,270 @@ def nn_search_pallas(
             bytes_accessed=(q.size + t.size) * 4 + q.shape[0] * 8,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(q, t, qn2, tn2)
 
     return idx[:nq, 0], dist[:nq, 0]
+
+
+# ---------------------------------------------------------------------------
+# Pruned search: Morton-sorted targets + per-tile bounding boxes
+# ---------------------------------------------------------------------------
+#
+# The FLANN kd-tree wins on CPU by CULLING: most of the cloud is never
+# visited per query. The TPU-native equivalent keeps the tiled brute-force
+# shape but sorts targets along a Morton (Z-order) curve so each target tile
+# is spatially compact, precomputes per-tile bounding boxes, and lets the
+# kernel SKIP a (query-tile, target-tile) cell whenever the squared distance
+# between the two bounding boxes exceeds the matching threshold — exact for
+# every match the pipeline would accept (matches beyond the threshold are
+# discarded by the caller anyway, NearestNeighbor.h:182). With the tight
+# thresholds of the real workloads this removes ~95-99% of the work.
+
+
+class TargetIndex(NamedTuple):
+    """Prebuilt search structure over a target cloud (the ``buildIndex``
+    phase, NearestNeighbor.h:122-141)."""
+
+    points: jax.Array     # (Nt_pad, 8) Morton-sorted, feature-padded
+    perm: jax.Array       # (Nt_pad,) sorted position -> original row
+    bbox_min: jax.Array   # (n_tiles, 8)
+    bbox_max: jax.Array   # (n_tiles, 8)
+    norm2: jax.Array      # (1, Nt_pad)
+
+
+def _part1by2(x: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_codes_np(points, valid_mask=None):
+    """Host-side Morton codes (numpy) for load-time cloud ordering — device
+    sorts compile pathologically slowly in this environment, and a rigid
+    transform preserves spatial locality, so ordering once on the host is
+    both cheaper and sufficient."""
+    import numpy as np
+
+    xyz = np.asarray(points)[:, :3]
+    if valid_mask is None:
+        valid_mask = np.abs(xyz).max(axis=1) < 1.0e5
+    if not valid_mask.any():
+        return np.zeros(len(xyz), np.int64)
+    lo = xyz[valid_mask].min(axis=0)
+    hi = xyz[valid_mask].max(axis=0)
+    scale = 1023.0 / np.maximum(hi - lo, 1e-12)
+    q = np.clip((xyz - lo) * scale, 0.0, 1023.0).astype(np.uint32)
+
+    def part(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = part(q[:, 0]) | (part(q[:, 1]) << 1) | (part(q[:, 2]) << 2)
+    code = code.astype(np.int64)
+    return np.where(valid_mask, code, np.int64(1) << 40)
+
+
+def morton_codes(points: jax.Array, valid_mask: jax.Array | None = None) -> jax.Array:
+    """30-bit Z-order codes from the first 3 columns; invalid rows sort last."""
+    xyz = points[:, :3]
+    if valid_mask is None:
+        valid_mask = jnp.abs(xyz).max(axis=1) < 1.0e5
+    big = jnp.where(valid_mask[:, None], xyz, jnp.nan)
+    lo = jnp.nanmin(big, axis=0)
+    hi = jnp.nanmax(big, axis=0)
+    scale = 1023.0 / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((xyz - lo) * scale), 0.0, 1023.0).astype(jnp.int32)
+    code = (
+        _part1by2(q[:, 0])
+        | (_part1by2(q[:, 1]) << 1)
+        | (_part1by2(q[:, 2]) << 2)
+    )
+    return jnp.where(valid_mask, code, jnp.int32(0x7FFFFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_t",))
+def build_target_index(targets: jax.Array, *, tile_t: int = TILE_T) -> TargetIndex:
+    """Precompute the tile-bbox search structure over the targets.
+
+    NO on-device sort happens here: pruning quality comes from the target
+    rows being spatially coherent, which the data layer provides by
+    Morton-ordering clouds ON THE HOST at load time
+    (``cloud.from_numpy(morton_order=True)`` — device sorts are a compile
+    bottleneck in this environment, and a one-time host ordering survives
+    every rigid transform). With incoherent layouts the search stays exact,
+    just unpruned. Tiles mixing valid and sentinel rows get huge bboxes and
+    are never pruned (correct, merely unoptimized).
+    """
+    t = _pad_rows(_pad_features(targets), tile_t, 1.0e6)
+    n_tiles = t.shape[0] // tile_t
+    tiles = t.reshape(n_tiles, tile_t, FEATURE_PAD)
+    return TargetIndex(
+        points=t,
+        perm=jnp.arange(t.shape[0], dtype=jnp.int32),
+        bbox_min=jnp.min(tiles, axis=1),
+        bbox_max=jnp.max(tiles, axis=1),
+        norm2=jnp.sum(t * t, axis=1).reshape(1, -1),
+    )
+
+
+def _make_pruned_kernel(tile_t: int):
+    def kernel(bound_ref, visit_ref, q_ref, t_ref, qn2_ref, tn2_ref,
+               dist_ref, idx_ref):
+        j = pl.program_id(1)
+        bound = bound_ref[0, 0]
+
+        @pl.when(j == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, bound)
+            idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+        # The visit mask is precomputed outside the kernel (bbox-vs-bbox
+        # lower bounds over Morton-compact tiles); a skipped cell costs only
+        # the scalar test.
+        @pl.when(visit_ref[0, 0] > 0)
+        def _():
+            g = jax.lax.dot_general(
+                q_ref[:], t_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d2 = qn2_ref[:] + tn2_ref[:] - 2.0 * g
+            local_min = jnp.min(d2, axis=1, keepdims=True)
+            local_arg = (
+                jnp.argmin(d2, axis=1).astype(jnp.int32).reshape(-1, 1)
+                + j * tile_t
+            )
+            better = local_min < dist_ref[:]
+            idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+            dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_q", "tile_t")
+)
+def nn_search_pruned(
+    queries: jax.Array,
+    index: TargetIndex,
+    max_distance: float | jax.Array,
+    *,
+    interpret: bool = False,
+    tile_q: int = TILE_Q,
+    tile_t: int = TILE_T,
+) -> tuple[jax.Array, jax.Array]:
+    """Threshold-bounded exact 1-NN against a prebuilt :class:`TargetIndex`.
+
+    Returns ``(indices, dist2)`` in ORIGINAL target numbering. Queries whose
+    true nearest neighbor lies beyond ``sqrt(max_distance)`` may return
+    ``idx == -1`` / ``dist2 == max_distance*(1+eps)`` — exactly the rows the
+    threshold would reject.
+    """
+    nq = queries.shape[0]
+    q = _pad_rows(_pad_features(queries), tile_q, 0.0)
+    # Query-tile compactness (and hence pruning quality) relies on the
+    # data-layer Morton ordering of the SOURCE cloud — rigid poses preserve
+    # it, so no per-iteration sort is needed.
+    qn2 = jnp.sum(q * q, axis=1, keepdims=True)
+
+    n_tiles = index.points.shape[0] // tile_t
+    nq_tiles = q.shape[0] // tile_q
+    grid = (nq_tiles, n_tiles)
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    bound = jnp.asarray([[bound_val]], jnp.float32)
+
+    # Precomputed bbox-vs-bbox lower bounds -> per-cell visit mask.
+    qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
+    qmin = jnp.min(qtiles, axis=1)
+    qmax = jnp.max(qtiles, axis=1)
+    gap = jnp.maximum(
+        jnp.maximum(
+            qmin[:, None, :] - index.bbox_max[None, :, :],
+            index.bbox_min[None, :, :] - qmax[:, None, :],
+        ),
+        0.0,
+    )
+    lb = jnp.sum(gap * gap, axis=-1)                    # (nq_tiles, n_tiles)
+    visit = (lb <= bound_val).astype(jnp.int32)
+
+    dist, idx = pl.pallas_call(
+        _make_pruned_kernel(tile_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, FEATURE_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bound, visit, q, index.points, qn2, index.norm2)
+
+    sorted_idx = idx[:nq, 0]
+    d2_out = dist[:nq, 0]
+    orig = index.perm[jnp.clip(sorted_idx, 0, index.perm.shape[0] - 1)]
+    return jnp.where(sorted_idx < 0, -1, orig), d2_out
+
+
+def nn_search_pruned_xla(
+    queries: jax.Array,
+    index: TargetIndex,
+    max_distance: float | jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Portable equivalent of :func:`nn_search_pruned` (no pruning, same
+    result contract) for CPU test meshes."""
+    idx, d2 = nn_search_xla(_pad_features(queries), index.points)
+    over = d2 > jnp.float32(max_distance)
+    orig = index.perm[idx]
+    bound = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    return (
+        jnp.where(over, -1, orig),
+        jnp.where(over, bound, d2),
+    )
+
+
+def match_indexed(
+    queries: jax.Array,
+    index: TargetIndex,
+    max_distance: float | jax.Array,
+    query_mask: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Matching stage against a prebuilt index: 1-NN + squared threshold."""
+    if jax.default_backend() in ("tpu", "axon"):
+        idx, d2 = nn_search_pruned(queries, index, max_distance, interpret=interpret)
+    else:
+        idx, d2 = nn_search_pruned_xla(queries, index, max_distance)
+    valid = (d2 <= max_distance) & (idx >= 0)
+    if query_mask is not None:
+        valid = valid & query_mask
+    return idx, d2, valid
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

@@ -111,6 +111,7 @@ def _iteration(
     gt_valid: jax.Array,
     run_benchmark: bool,
     axis_name: str | None = None,
+    target_index: knn.TargetIndex | None = None,
 ):
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
@@ -152,8 +153,11 @@ def _iteration(
         )
 
     # --- transform (ICPOptimizer.h:251-252) ---------------------------------
+    # Masked-out queries are pinned to 0 (not a huge sentinel): their results
+    # are discarded via the mask anyway, and keeping query tiles spatially
+    # tight preserves the bbox pruning of the indexed k-NN kernel.
     src_pts = se3.transform_points(source.points, pose)
-    src_pts = jnp.where(sel_mask[:, None], src_pts, cloud_lib.PAD_SENTINEL)
+    src_pts = jnp.where(sel_mask[:, None], src_pts, 0.0)
     src_nrm = se3.transform_normals(source.normals, pose)
 
     # --- stage 2: matching --------------------------------------------------
@@ -174,8 +178,17 @@ def _iteration(
         )
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)
-        t = knn.color_features(target.points, target.colors)
-        idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
+        if target_index is not None:
+            idx, _d2, valid = knn.match_indexed(
+                q, target_index, cfg.max_distance, query_mask=sel_mask
+            )
+        else:
+            t = knn.color_features(target.points, target.colors)
+            idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
+    elif target_index is not None:
+        idx, _d2, valid = knn.match_indexed(
+            src_pts, target_index, cfg.max_distance, query_mask=sel_mask
+        )
     else:
         idx, _d2, valid = knn.match(
             src_pts, target.points, cfg.max_distance, query_mask=sel_mask
@@ -237,11 +250,22 @@ def _run_icp_jit(
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
+    # The target is fixed across iterations: build the Morton/bbox search
+    # index ONCE before the scan, exactly like the reference's one-time FLANN
+    # buildIndex (ICPOptimizer.h:224-227).
+    target_index = None
+    if cfg.matching == Matching.KNN:
+        if cfg.color_icp:
+            feats = knn.color_features(target.points, target.colors)
+        else:
+            feats = target.points
+        target_index = knn.build_target_index(feats)
+
     def body(pose, per_iter):
         stride, k = per_iter
         new_pose, rec = _iteration(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
-            run_benchmark,
+            run_benchmark, target_index=target_index,
         )
         return new_pose, rec
 

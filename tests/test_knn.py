@@ -77,3 +77,62 @@ class TestMatch:
         mask = jnp.asarray([True, False, True, False])
         _, _, valid = knn.match(q, t, 1.0, query_mask=mask)
         np.testing.assert_array_equal(np.asarray(valid), [True, False, True, False])
+
+
+class TestPrunedIndex:
+    """Morton/bbox-pruned search (TargetIndex path)."""
+
+    def test_build_index_shapes(self):
+        rng = np.random.default_rng(4)
+        t = rng.standard_normal((1000, 3)).astype(np.float32)
+        index = knn.build_target_index(jnp.asarray(t), tile_t=256)
+        assert index.points.shape == (1024, 8)
+        assert index.bbox_min.shape == (4, 8)
+        # Permutation is a valid bijection over the padded rows.
+        assert sorted(np.asarray(index.perm).tolist()) == list(range(1024))
+
+    def test_pruned_matches_oracle_interpret(self):
+        rng = np.random.default_rng(5)
+        t = rng.standard_normal((1500, 3)).astype(np.float32) * 3.0
+        q = rng.standard_normal((300, 3)).astype(np.float32) * 3.0
+        index = knn.build_target_index(jnp.asarray(t), tile_t=256)
+        ref_idx, ref_d2 = _brute(q, t)
+        idx, d2 = knn.nn_search_pruned(
+            jnp.asarray(q), index, 1e6, interpret=True, tile_q=128, tile_t=256
+        )
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-3, atol=1e-5)
+
+    def test_threshold_pruning_exact_for_accepted(self):
+        rng = np.random.default_rng(6)
+        t = rng.standard_normal((1000, 3)).astype(np.float32)
+        q = rng.standard_normal((256, 3)).astype(np.float32)
+        index = knn.build_target_index(jnp.asarray(t), tile_t=256)
+        ref_idx, ref_d2 = _brute(q, t)
+        max_d = 0.02
+        idx, d2 = knn.nn_search_pruned(
+            jnp.asarray(q), index, max_d, interpret=True, tile_q=128, tile_t=256
+        )
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+        within = ref_d2 <= max_d
+        np.testing.assert_array_equal(idx[within], ref_idx[within])
+        # Rows beyond threshold are flagged rejected one way or the other.
+        assert ((idx[~within] == -1) | (d2[~within] > max_d)).all()
+
+    def test_match_indexed_xla_path(self):
+        rng = np.random.default_rng(7)
+        t = rng.standard_normal((500, 3)).astype(np.float32)
+        q = t[:100] + 0.001
+        index = knn.build_target_index(jnp.asarray(t), tile_t=256)
+        idx, d2, valid = knn.match_indexed(jnp.asarray(q), index, 0.01)
+        assert np.asarray(valid).all()
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(100))
+
+    def test_sentinel_targets_never_matched(self):
+        rng = np.random.default_rng(8)
+        t = np.full((512, 3), 2.0e6, np.float32)  # all invalid
+        t[:10] = rng.standard_normal((10, 3))
+        q = rng.standard_normal((64, 3)).astype(np.float32)
+        index = knn.build_target_index(jnp.asarray(t), tile_t=256)
+        idx, d2, valid = knn.match_indexed(jnp.asarray(q), index, 1e3)
+        assert (np.asarray(idx)[np.asarray(valid)] < 10).all()
