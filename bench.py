@@ -28,6 +28,7 @@ N_ITERATIONS = 50           # main.cpp:366
 SELECTION_P = 0.01          # main.cpp:379
 MAX_DISTANCE = 10.0         # main.cpp:361
 N_TIMED_RUNS = 3
+BATCH_PAIRS = 4             # data-parallel pairs per program (single chip)
 
 
 def synth_cloud(n, seed):
@@ -51,6 +52,8 @@ def synth_cloud(n, seed):
 
 
 def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
+    """Batched registration: BATCH_PAIRS scan pairs per program (the ETH
+    sweep's data-parallel axis, run on one chip). Returns seconds/pair."""
     import jax
 
     from icp_variants_tpu.core import cloud as cloud_lib
@@ -69,17 +72,24 @@ def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
     )
     source = cloud_lib.from_numpy(src_pts, normals=src_nrm, morton_order=True)
     target = cloud_lib.from_numpy(tgt_pts, normals=tgt_nrm, morton_order=True)
+    sources = icp.stack_clouds([source] * BATCH_PAIRS)
+    targets = icp.stack_clouds([target] * BATCH_PAIRS)
 
     def run(seed):
-        res = icp.run_icp(cfg, source, target, key=jax.random.PRNGKey(seed))
-        jax.block_until_ready(res.pose)
+        res = icp.run_icp_batch(
+            cfg, sources, targets, key=jax.random.PRNGKey(seed)
+        )
+        # device_get forces a real device->host transfer; plain
+        # block_until_ready is unreliable over this environment's tunneled
+        # backend (returns before execution completes).
+        jax.device_get(res.pose)
         return res
 
     run(0)  # compile
     t0 = time.perf_counter()
     for s in range(N_TIMED_RUNS):
         run(s + 1)
-    dt = (time.perf_counter() - t0) / N_TIMED_RUNS
+    dt = (time.perf_counter() - t0) / (N_TIMED_RUNS * BATCH_PAIRS)
     return dt
 
 

@@ -42,6 +42,10 @@ TILE_Q = 256
 TILE_T = 1024
 # Feature dim padded to the f32 sublane multiple.
 FEATURE_PAD = 8
+# Target tile for the INDEXED (pruned) path: bigger tiles amortize the
+# per-grid-step overhead (~2us/step) that floors the kernel; the d2 tile
+# (TILE_Q x INDEX_TILE_T f32 = 4 MiB) still fits VMEM comfortably.
+INDEX_TILE_T = 4096
 
 
 def _pad_features(x: jax.Array) -> jax.Array:
@@ -280,7 +284,7 @@ def morton_codes(points: jax.Array, valid_mask: jax.Array | None = None) -> jax.
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t",))
-def build_target_index(targets: jax.Array, *, tile_t: int = TILE_T) -> TargetIndex:
+def build_target_index(targets: jax.Array, *, tile_t: int = INDEX_TILE_T) -> TargetIndex:
     """Precompute the tile-bbox search structure over the targets.
 
     NO on-device sort happens here: pruning quality comes from the target
@@ -305,10 +309,14 @@ def build_target_index(targets: jax.Array, *, tile_t: int = TILE_T) -> TargetInd
 
 
 def _make_pruned_kernel(tile_t: int):
-    def kernel(bound_ref, visit_ref, q_ref, t_ref, qn2_ref, tn2_ref,
+    def kernel(visit_ref, bound_ref, q_ref, t_ref, qn2_ref, tn2_ref,
                dist_ref, idx_ref):
+        # visit_ref and bound_ref are scalar-prefetch arguments: whole
+        # arrays resident in SMEM, indexed by program ids. Per-cell (1,1)
+        # SMEM blocks made Mosaic compile time explode with grid size.
+        i = pl.program_id(0)
         j = pl.program_id(1)
-        bound = bound_ref[0, 0]
+        bound = bound_ref[0]
 
         @pl.when(j == 0)
         def _():
@@ -318,7 +326,7 @@ def _make_pruned_kernel(tile_t: int):
         # The visit mask is precomputed outside the kernel (bbox-vs-bbox
         # lower bounds over Morton-compact tiles); a skipped cell costs only
         # the scalar test.
-        @pl.when(visit_ref[0, 0] > 0)
+        @pl.when(visit_ref[i, j] > 0)
         def _():
             g = jax.lax.dot_general(
                 q_ref[:], t_ref[:],
@@ -349,7 +357,7 @@ def nn_search_pruned(
     *,
     interpret: bool = False,
     tile_q: int = TILE_Q,
-    tile_t: int = TILE_T,
+    tile_t: int = INDEX_TILE_T,
 ) -> tuple[jax.Array, jax.Array]:
     """Threshold-bounded exact 1-NN against a prebuilt :class:`TargetIndex`.
 
@@ -369,7 +377,6 @@ def nn_search_pruned(
     nq_tiles = q.shape[0] // tile_q
     grid = (nq_tiles, n_tiles)
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
-    bound = jnp.asarray([[bound_val]], jnp.float32)
 
     # Precomputed bbox-vs-bbox lower bounds -> per-cell visit mask.
     qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
@@ -385,21 +392,23 @@ def nn_search_pruned(
     lb = jnp.sum(gap * gap, axis=-1)                    # (nq_tiles, n_tiles)
     visit = (lb <= bound_val).astype(jnp.int32)
 
-    dist, idx = pl.pallas_call(
-        _make_pruned_kernel(tile_t),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_t, FEATURE_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, FEATURE_PAD), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    dist, idx = pl.pallas_call(
+        _make_pruned_kernel(tile_t),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.int32),
@@ -408,7 +417,7 @@ def nn_search_pruned(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bound, visit, q, index.points, qn2, index.norm2)
+    )(visit, jnp.asarray([bound_val], jnp.float32), q, index.points, qn2, index.norm2)
 
     sorted_idx = idx[:nq, 0]
     d2_out = dist[:nq, 0]

@@ -141,8 +141,13 @@ def _iteration(
     # O(pN*M) per iteration.
     if cfg.selection == Selection.RANDOM and cfg.compact_queries:
         k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
-        _, sel_idx = jax.lax.top_k(sel_mask.astype(jnp.float32), k_cap)
-        sel_mask = sel_mask[sel_idx]
+        # nonzero-with-static-size lowers to cumsum+scatter — far cheaper
+        # than a top_k sort at ETH scale. Rows past the true count are fill.
+        (sel_idx,) = jnp.nonzero(
+            sel_mask, size=k_cap, fill_value=source.capacity - 1
+        )
+        n_selected = jnp.sum(sel_mask)
+        sel_mask = jnp.arange(k_cap) < n_selected
         source = Cloud(
             points=jnp.where(
                 sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
@@ -337,3 +342,83 @@ def run_icp(
         gtv,
         run_benchmark,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_iterations", "run_benchmark")
+)
+def _run_icp_batch_jit(
+    cfg: ICPConfig,
+    num_iterations: int,
+    sources: Cloud,        # leading batch axis on every leaf
+    targets: Cloud,
+    init_poses: jax.Array,  # (B, 4, 4)
+    strides: jax.Array,     # (T,)
+    keys: jax.Array,        # (B, 2)
+    gt_src: jax.Array,      # (B, G, 3)
+    gt_tgt: jax.Array,      # (B, G, 3)
+    gt_valid: jax.Array,    # (B, G)
+    run_benchmark: bool,
+) -> ICPResult:
+    def one(source, target, pose0, key, gs, gtv_, gv):
+        return _run_icp_jit(
+            cfg, num_iterations, source, target, pose0, strides, key,
+            gs, gtv_, gv, run_benchmark,
+        )
+
+    return jax.vmap(one)(
+        sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid
+    )
+
+
+def run_icp_batch(
+    cfg: ICPConfig,
+    sources: Cloud,
+    targets: Cloud,
+    init_poses=None,
+    *,
+    gt_source_points=None,
+    gt_target_points=None,
+    gt_valid=None,
+    key=None,
+    run_benchmark: bool = False,
+) -> ICPResult:
+    """Register a BATCH of scan pairs in one program (vmapped over the pair
+    axis) — the single-chip data-parallel runner behind the ETH sweep's
+    pairs/sec headline. All Cloud leaves carry a leading batch dimension;
+    multires stride schedules are shared (pass equal-capacity clouds).
+    """
+    b = sources.points.shape[0]
+    if init_poses is None:
+        init_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, b)
+    if gt_source_points is None:
+        gt_src = jnp.zeros((b, 1, 3), jnp.float32)
+        gt_tgt = jnp.zeros((b, 1, 3), jnp.float32)
+        gtv = jnp.ones((b, 1), bool)
+    else:
+        gt_src = jnp.asarray(gt_source_points, jnp.float32)
+        gt_tgt = jnp.asarray(gt_target_points, jnp.float32)
+        gtv = (
+            jnp.asarray(gt_valid, bool)
+            if gt_valid is not None
+            else jnp.ones(gt_src.shape[:2], bool)
+        )
+
+    num_source_points = int(sources.points.shape[1])
+    strides = cloud_lib.multires_stride_schedule(
+        num_source_points, cfg.n_iterations, cfg.multi_resolution,
+        cfg.multi_resolution_min_points,
+    )
+    return _run_icp_batch_jit(
+        cfg, int(strides.shape[0]), sources, targets,
+        jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
+        gt_src, gt_tgt, gtv, run_benchmark,
+    )
+
+
+def stack_clouds(clouds) -> Cloud:
+    """Stack equal-capacity Clouds along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)

@@ -85,3 +85,33 @@ def test_rmse_mostly_decreases(loader):
     # Monotone-ish: final far below the max.
     assert res.final_rmse <= res.rmse_per_iteration.max() * 0.5
     assert (res.num_matches > 0).all()
+
+
+def test_bunny_batch_matches_single(loader):
+    """run_icp_batch (vmapped pairs) agrees with run_icp per pair."""
+    import jax
+    import numpy as np
+
+    from icp_variants_tpu.pipeline import icp as icp_mod
+
+    cfg = bunny.default_config(minimizer=Minimizer.LINEAR, n_iterations=5)
+    sample = loader.get_item(0)
+    gt_src, gt_tgt = loader.gt_correspondences()
+
+    single = icp_mod.run_icp(
+        cfg, sample.source, sample.target,
+        gt_source_points=gt_src, gt_target_points=gt_tgt,
+        key=jax.random.PRNGKey(0),
+    )
+    batched = icp_mod.run_icp_batch(
+        cfg,
+        icp_mod.stack_clouds([sample.source, sample.source]),
+        icp_mod.stack_clouds([sample.target, sample.target]),
+        gt_source_points=np.stack([gt_src, gt_src]),
+        gt_target_points=np.stack([gt_tgt, gt_tgt]),
+        key=jax.random.PRNGKey(0),
+    )
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(batched.pose[b]), np.asarray(single.pose), rtol=1e-4, atol=1e-5
+        )
