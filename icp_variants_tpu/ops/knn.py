@@ -42,10 +42,11 @@ TILE_Q = 256
 TILE_T = 1024
 # Feature dim padded to the f32 sublane multiple.
 FEATURE_PAD = 8
-# Target tile for the INDEXED (pruned) path: bigger tiles amortize the
-# per-grid-step overhead (~2us/step) that floors the kernel; the d2 tile
-# (TILE_Q x INDEX_TILE_T f32 = 4 MiB) still fits VMEM comfortably.
-INDEX_TILE_T = 4096
+# Target tile for the INDEXED (pruned) paths. The visited-list kernel (v2)
+# measured best at 1024 on v5e for both compacted-query and full-cloud
+# sweeps: fine enough for tight bboxes, coarse enough to amortize DMA
+# latency per visited tile.
+INDEX_TILE_T = 1024
 
 
 def _pad_features(x: jax.Array) -> jax.Array:
@@ -219,6 +220,7 @@ class TargetIndex(NamedTuple):
     phase, NearestNeighbor.h:122-141)."""
 
     points: jax.Array     # (Nt_pad, 8) Morton-sorted, feature-padded
+    points_t3: jax.Array  # (n_tiles, 8, tile_t) tile-major transposed pages
     perm: jax.Array       # (Nt_pad,) sorted position -> original row
     bbox_min: jax.Array   # (n_tiles, 8)
     bbox_max: jax.Array   # (n_tiles, 8)
@@ -301,6 +303,7 @@ def build_target_index(targets: jax.Array, *, tile_t: int = INDEX_TILE_T) -> Tar
     tiles = t.reshape(n_tiles, tile_t, FEATURE_PAD)
     return TargetIndex(
         points=t,
+        points_t3=tiles.transpose(0, 2, 1),
         perm=jnp.arange(t.shape[0], dtype=jnp.int32),
         bbox_min=jnp.min(tiles, axis=1),
         bbox_max=jnp.max(tiles, axis=1),
@@ -425,6 +428,205 @@ def nn_search_pruned(
     return jnp.where(sorted_idx < 0, -1, orig), d2_out
 
 
+# ---------------------------------------------------------------------------
+# v2: visited-list kernel — work proportional to surviving tiles
+# ---------------------------------------------------------------------------
+#
+# The 2-D grid kernel pays a fixed per-grid-step cost for every
+# (query-tile, target-tile) cell, visited or not (~1700 steps at ETH scale
+# floors it around 10 ms). This kernel flips the loop: the grid is 1-D over
+# query tiles, and each step walks ONLY its visited target tiles — ids
+# precomputed on the host side of the call — streaming them from HBM with
+# double-buffered async copies. Finer target tiles (512 rows) become
+# affordable, which also tightens the bboxes and prunes more.
+
+
+V2_TILE_T = 512
+
+
+def _make_visited_kernel(tile_t: int, max_v: int):
+    def kernel(
+        count_ref,        # scalar prefetch: (nq_tiles,) int32
+        bound_ref,        # scalar prefetch: (1,) f32
+        vlist_ref,        # (nq_tiles, max_v) int32 in ANY/HBM
+        t_ref,            # (Nt, 8) in ANY/HBM
+        q_ref,            # (tile_q, 8) VMEM block
+        qn2_ref,          # (tile_q, 1) VMEM block
+        dist_ref,         # out (tile_q, 1)
+        idx_ref,          # out (tile_q, 1)
+        vrow_ref,         # SMEM scratch (max_v,)
+        tbuf_ref,         # VMEM scratch (2, tile_t, 8)
+        copy_sems,        # DMA semaphores (3,)
+    ):
+        i = pl.program_id(0)
+        count = count_ref[i]
+        bound = bound_ref[0]
+
+        # Fetch this query tile's visited-tile ids into SMEM. The list is
+        # stored 8-row-replicated so the HBM slice satisfies Mosaic's
+        # (8, 128) int32 tiling; only row 0 is read.
+        row_dma = pltpu.make_async_copy(
+            vlist_ref.at[i], vrow_ref, copy_sems.at[2]
+        )
+        row_dma.start()
+
+        dist_ref[:] = jnp.full_like(dist_ref, bound)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+        row_dma.wait()
+
+        def tile_dma(slot, k):
+            tile_id = vrow_ref[0, k]
+            # t_ref is tile-major TRANSPOSED (n_tiles, 8, tile_t): a whole
+            # (8, tile_t) page per DMA — sublane 8, lane tile_t (128-mult.),
+            # and already feature-major for the q @ t contraction.
+            return pltpu.make_async_copy(
+                t_ref.at[tile_id],
+                tbuf_ref.at[slot],
+                copy_sems.at[slot],
+            )
+
+        @pl.when(count > 0)
+        def _():
+            tile_dma(0, 0).start()
+
+            def body(k, _):
+                slot = jax.lax.rem(k, 2)
+                next_slot = jax.lax.rem(k + 1, 2)
+
+                @pl.when(k + 1 < count)
+                def _():
+                    tile_dma(next_slot, k + 1).start()
+
+                tile_dma(slot, k).wait()
+                t = tbuf_ref[slot]                      # (8, tile_t)
+                g = jax.lax.dot_general(
+                    q_ref[:], t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                tn2 = jnp.sum(t * t, axis=0).reshape(1, -1)
+                d2 = qn2_ref[:] + tn2 - 2.0 * g
+                local_min = jnp.min(d2, axis=1, keepdims=True)
+                local_arg = (
+                    jnp.argmin(d2, axis=1).astype(jnp.int32).reshape(-1, 1)
+                    + vrow_ref[0, k] * tile_t
+                )
+                better = local_min < dist_ref[:]
+                idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+                dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+                return 0
+
+            jax.lax.fori_loop(0, count, body, 0)
+
+    return kernel
+
+
+def _visit_lists(
+    qmin, qmax, bbox_min, bbox_max, bound_val
+) -> tuple[jax.Array, jax.Array]:
+    """Per-query-tile visited target-tile ids (ascending, zero-padded) and
+    counts, from bbox-vs-bbox lower bounds. Sort-free (cumsum + scatter)."""
+    gap = jnp.maximum(
+        jnp.maximum(
+            qmin[:, None, :] - bbox_max[None, :, :],
+            bbox_min[None, :, :] - qmax[:, None, :],
+        ),
+        0.0,
+    )
+    lb = jnp.sum(gap * gap, axis=-1)               # (nqt, ntt)
+    visited = lb <= bound_val
+    nqt, ntt = visited.shape
+    pos = jnp.cumsum(visited, axis=1) - visited.astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(nqt)[:, None], (nqt, ntt))
+    cols = jnp.broadcast_to(jnp.arange(ntt)[None, :], (nqt, ntt))
+    slot = jnp.where(visited, pos, ntt)            # ntt = out-of-range => drop
+    vlist = jnp.zeros((nqt, ntt), jnp.int32)
+    vlist = vlist.at[rows.reshape(-1), slot.reshape(-1)].set(
+        cols.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    counts = jnp.sum(visited, axis=1).astype(jnp.int32)
+    return vlist, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_q", "tile_t")
+)
+def nn_search_pruned_v2(
+    queries: jax.Array,
+    index: TargetIndex,
+    max_distance: float | jax.Array,
+    *,
+    interpret: bool = False,
+    tile_q: int = TILE_Q,
+    tile_t: int = V2_TILE_T,
+) -> tuple[jax.Array, jax.Array]:
+    """Visited-list exact 1-NN. Same contract as :func:`nn_search_pruned`;
+    build the index with ``build_target_index(..., tile_t=V2_TILE_T)``."""
+    nq = queries.shape[0]
+    q = _pad_rows(_pad_features(queries), tile_q, 0.0)
+    qn2 = jnp.sum(q * q, axis=1, keepdims=True)
+
+    n_tiles = index.points.shape[0] // tile_t
+    nq_tiles = q.shape[0] // tile_q
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+
+    qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
+    vlist, counts = _visit_lists(
+        jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
+        index.bbox_min, index.bbox_max, bound_val,
+    )
+    max_v = ((n_tiles + 127) // 128) * 128
+    vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
+    # 8-row replication for tiling-legal (1-row worth of) HBM slices.
+    vlist = jnp.broadcast_to(vlist[:, None, :], (nq_tiles, 8, max_v))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # vlist (DMA'd per q-tile)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # target points (DMA'd per visited tile)
+            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, max_v), jnp.int32),
+            pltpu.VMEM((2, FEATURE_PAD, tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        _make_visited_kernel(tile_t, max_v),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        counts,
+        jnp.asarray([bound_val], jnp.float32),
+        vlist,
+        index.points_t3,
+        q,
+        qn2,
+    )
+
+    sorted_idx = idx[:nq, 0]
+    d2_out = dist[:nq, 0]
+    orig = index.perm[jnp.clip(sorted_idx, 0, index.perm.shape[0] - 1)]
+    return jnp.where(sorted_idx < 0, -1, orig), d2_out
+
+
 def nn_search_pruned_xla(
     queries: jax.Array,
     index: TargetIndex,
@@ -452,7 +654,10 @@ def match_indexed(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Matching stage against a prebuilt index: 1-NN + squared threshold."""
     if jax.default_backend() in ("tpu", "axon"):
-        idx, d2 = nn_search_pruned(queries, index, max_distance, interpret=interpret)
+        tile_t = index.points_t3.shape[2]
+        idx, d2 = nn_search_pruned_v2(
+            queries, index, max_distance, interpret=interpret, tile_t=tile_t
+        )
     else:
         idx, d2 = nn_search_pruned_xla(queries, index, max_distance)
     valid = (d2 <= max_distance) & (idx >= 0)
