@@ -135,10 +135,10 @@ def _iteration(
     # --- compaction ---------------------------------------------------------
     # The reference compacts the random selection into a dense vector
     # (selection.h:88-106); dynamic shapes are impossible under jit, so we
-    # gather the selected rows into a FIXED capacity K ~ 1.25*p*N via top_k
-    # on the mask. At ETH settings (p=0.01, N=365k) this turns a 365k-query
-    # k-NN into a 4.7k-query one — the difference between O(N*M) and
-    # O(pN*M) per iteration.
+    # gather the selected rows into a FIXED capacity K ~ 1.25*p*N. At ETH
+    # settings (p=0.01, N=365k) this turns a 365k-query k-NN into a
+    # 4.7k-query one — the difference between O(N*M) and O(pN*M) per
+    # iteration.
     if cfg.selection == Selection.RANDOM and cfg.compact_queries:
         k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
         # nonzero-with-static-size lowers to cumsum+scatter — far cheaper

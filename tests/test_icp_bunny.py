@@ -115,3 +115,80 @@ def test_bunny_batch_matches_single(loader):
         np.testing.assert_allclose(
             np.asarray(batched.pose[b]), np.asarray(single.pose), rtol=1e-4, atol=1e-5
         )
+
+
+def test_color_icp_end_to_end():
+    """Color-ICP: 6-dim [xyz, rgb/255] matching (NearestNeighbor.h:209-303).
+
+    Not runnable on the bunny pair — its halves are uniformly red vs green,
+    so 6-dim distances never pass the gate (the reference only exercises
+    color-ICP on TUM RGB-D). Synthetic textured pair instead: color must
+    disambiguate between two interleaved parallel planes that pure geometry
+    confuses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.pipeline import icp as icp_mod
+    from icp_variants_tpu.pipeline.config import ICPConfig
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    pts[:, 2] = 0.3 * np.sin(3 * pts[:, 0]) * np.cos(3 * pts[:, 1])
+    colors = np.zeros((n, 4), np.float32)
+    colors[:, 0] = 128 + 100 * np.sin(5 * pts[:, 0])
+    colors[:, 1] = 128 + 100 * np.cos(5 * pts[:, 1])
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (n, 1))
+
+    ang = 0.03
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    src_pts = pts @ R.T + np.array([0.02, -0.01, 0.01], np.float32)
+
+    target = cloud_lib.from_numpy(pts, normals=nrm, colors=colors)
+    source = cloud_lib.from_numpy(src_pts, normals=nrm @ R.T, colors=colors)
+
+    cfg = ICPConfig(
+        metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+        color_icp=True, max_distance=0.05, n_iterations=15,
+    )
+    res = icp_mod.run_icp(
+        cfg, source, target,
+        gt_source_points=src_pts, gt_target_points=pts,
+        key=jax.random.PRNGKey(0),
+    )
+    rmse = np.asarray(jax.device_get(res.trace.rmse))
+    matches = np.asarray(jax.device_get(res.trace.num_matches))
+    assert (matches > 500).all()
+    assert rmse[-1] < rmse[0] * 0.2
+    assert rmse[-1] < 5e-3
+
+
+def test_bunny_colors_weighting(loader):
+    cfg = bunny.default_config(
+        minimizer=Minimizer.LINEAR,
+        metric=Metric.POINT_TO_PLANE,
+        weighting=Weighting.COLORS,
+    )
+    res = bunny.align_bunny(cfg)
+    assert res.final_rmse < CONVERGED_RMSE[Metric.POINT_TO_PLANE] * 2
+
+
+def test_bunny_rejection_off(loader):
+    cfg = bunny.default_config(minimizer=Minimizer.LINEAR, rejection=False)
+    res = bunny.align_bunny(cfg)
+    assert res.final_rmse < CONVERGED_RMSE[Metric.POINT_TO_POINT]
+
+
+def test_bunny_nonlinear_multires(loader):
+    """Multires through the LM path (CeresICPOptimizer multires,
+    ICPOptimizer.h:196-208 + 319-341)."""
+    cfg = bunny.default_config(
+        metric=Metric.POINT_TO_PLANE, multi_resolution=True, n_iterations=15
+    )
+    res = bunny.align_bunny(cfg)
+    assert res.final_rmse < CONVERGED_RMSE[Metric.POINT_TO_PLANE] * 2
