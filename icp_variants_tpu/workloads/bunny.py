@@ -41,6 +41,7 @@ def align_bunny(
     cfg: ICPConfig | None = None,
     data_dir: str | None = None,
     seed: int = 0,
+    artifacts_dir: str | None = None,
 ) -> BunnyRunResult:
     cfg = cfg or default_config()
     loader = BunnyDataLoader(data_dir=data_dir)
@@ -57,12 +58,67 @@ def align_bunny(
         key=jax.random.PRNGKey(seed),
     )
     rmse = np.asarray(jax.device_get(result.trace.rmse))
-    return BunnyRunResult(
+    run = BunnyRunResult(
         pose=np.asarray(jax.device_get(result.pose)),
         rmse_per_iteration=rmse,
         final_rmse=float(rmse[-1]),
         num_matches=np.asarray(jax.device_get(result.trace.num_matches)),
     )
+    if artifacts_dir is not None:
+        write_artifacts(artifacts_dir, loader, sample, run, gt_src, gt_tgt)
+    return run
+
+
+def write_artifacts(out_dir, loader, sample, run, gt_src, gt_tgt) -> None:
+    """The bunny driver's output files (main.cpp:144-176): source/target/
+    aligned clouds as .ply, per-iteration RMSE.txt, and the joined
+    visualization mesh with correspondence spheres as bunny_icp.off."""
+    import os
+
+    from icp_variants_tpu.data import mesh as mesh_lib
+    from icp_variants_tpu.data import ply_io
+    from icp_variants_tpu.workloads.experiments import write_error_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    src_valid = np.asarray(sample.source.valid)
+    src_pts = np.asarray(sample.source.points)[src_valid]
+    src_nrm = np.asarray(sample.source.normals)[src_valid]
+    tgt_valid = np.asarray(sample.target.valid)
+    tgt_pts = np.asarray(sample.target.points)[tgt_valid]
+    tgt_nrm = np.asarray(sample.target.normals)[tgt_valid]
+    ones_s = np.ones(len(src_pts), np.float32)
+
+    ply_io.write_ply(os.path.join(out_dir, "bunny_source.ply"), src_pts,
+                     normals=src_nrm, intensity=ones_s)
+    ply_io.write_ply(os.path.join(out_dir, "bunny_target.ply"), tgt_pts,
+                     normals=tgt_nrm, intensity=np.ones(len(tgt_pts), np.float32))
+    moved = src_pts @ run.pose[:3, :3].T + run.pose[:3, 3]
+    ply_io.write_ply(os.path.join(out_dir, "bunny_final_source.ply"), moved,
+                     normals=src_nrm @ run.pose[:3, :3].T, intensity=ones_s)
+    write_error_file(os.path.join(out_dir, "RMSE.txt"), run.rmse_per_iteration)
+
+    # Joined visualization mesh with GT-correspondence spheres
+    # (SHOW_BUNNY_CORRESPONDENCES, main.cpp:153-172). Per-point spheres are
+    # limited to the GT pairs to keep the artifact a few MB.
+    src_mesh = mesh_lib.TriMesh(
+        loader.source_mesh.vertices, loader.source_mesh.triangles,
+        loader.source_mesh.vertex_colors,
+    )
+    tgt_mesh = mesh_lib.TriMesh(
+        loader.target_mesh.vertices, loader.target_mesh.triangles,
+        loader.target_mesh.vertex_colors,
+    )
+    joined = mesh_lib.join_meshes(src_mesh, tgt_mesh, pose_a=run.pose)
+    for p in gt_src:
+        joined = mesh_lib.join_meshes(
+            mesh_lib.sphere(p, 0.003, color=(0, 255, 0, 255)), joined,
+            pose_a=run.pose,
+        )
+    for p in gt_tgt:
+        joined = mesh_lib.join_meshes(
+            mesh_lib.sphere(p, 0.003, color=(255, 0, 255, 0)), joined
+        )
+    joined.write(os.path.join(out_dir, "bunny_icp.off"))
 
 
 if __name__ == "__main__":

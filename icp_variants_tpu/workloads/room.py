@@ -46,12 +46,27 @@ class RoomRunResult:
     final_rmse: list = field(default_factory=list)
 
 
+def save_room_frame(out_path, frame, sensor, camera_pose) -> None:
+    """Per-frame mesh dump with camera marker (saveRoomToFile,
+    utils.h:179-193): triangulated RGB-D mesh joined with a frustum."""
+    from icp_variants_tpu.data import mesh as mesh_lib
+
+    camera_pose_inv = np.linalg.inv(camera_pose)
+    depth_mesh = mesh_lib.from_rgbd_frame(
+        frame.depth, frame.color, sensor.intrinsics, camera_pose_inv,
+        edge_threshold=0.1,
+    )
+    cam = mesh_lib.camera_marker(camera_pose_inv, scale=0.0015)
+    mesh_lib.join_meshes(depth_mesh, cam).write(out_path)
+
+
 def reconstruct_room(
     dataset_dir: str,
     cfg: ICPConfig | None = None,
     frame_step: int = 10,
     max_frames: int = 10,
     seed: int = 0,
+    artifacts_dir: str | None = None,
 ) -> RoomRunResult:
     cfg = cfg or default_config()
     sensor = tum.VirtualSensor(dataset_dir, increment=frame_step)
@@ -90,6 +105,14 @@ def reconstruct_room(
     result = RoomRunResult()
     current_camera_to_world = np.eye(4, dtype=np.float32)
     result.estimated_poses.append(np.linalg.inv(current_camera_to_world))
+    if artifacts_dir is not None:
+        import os
+
+        os.makedirs(artifacts_dir, exist_ok=True)
+        save_room_frame(
+            f"{artifacts_dir}/mesh_0.off", frame0, sensor,
+            current_camera_to_world,
+        )
 
     i = 0
     while i <= max_frames:
@@ -131,6 +154,11 @@ def reconstruct_room(
         result.initial_rmse.append(init_rmse)
         result.final_rmse.append(float(rmse[-1]))
         result.estimated_poses.append(np.linalg.inv(current_camera_to_world))
+        if artifacts_dir is not None:
+            save_room_frame(
+                f"{artifacts_dir}/mesh_{frame.index}.off", frame, sensor,
+                current_camera_to_world,
+            )
         i += 1
 
     return result
