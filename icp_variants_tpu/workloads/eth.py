@@ -87,6 +87,102 @@ class ETHRunResult:
         return np.asarray([p.final_error for p in self.pairs])
 
 
+def align_eth_batch(
+    csv_path: str,
+    cfg: ICPConfig | None = None,
+    pose_scaling: float = 0.1,
+    data_root: str | None = None,
+    capacity: int | None = None,
+    max_pairs: int | None = None,
+    batch_size: int = 4,
+    seed: int = 0,
+) -> ETHRunResult:
+    """Data-parallel ETH sweep: registers ``batch_size`` scan pairs per
+    compiled program (``run_icp_batch``). Requires a common ``capacity`` so
+    all pairs share one executable; defaults to the max cloud size found in
+    the first batch, rounded up.
+    """
+    cfg = cfg or default_config()
+    loader = ETHDataLoader(csv_path, data_root=data_root, capacity=capacity)
+    n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
+    result = ETHRunResult()
+
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [loader.get_item(i) for i in idxs]
+        if capacity is None:
+            # Re-load with a common capacity once the max size is known.
+            capacity = max(s.source.capacity for s in samples) if samples else None
+            loader.capacity = capacity
+        sources, originals, gt_valids = [], [], []
+        for s in samples:
+            scaled = scale_pose(s.pose, pose_scaling)
+            perturbed = perturb_cloud(s.source, scaled)
+            sources.append(perturbed)
+            originals.append(np.asarray(s.source.points))
+            gt_valids.append(np.asarray(perturbed.valid))
+        targets = [s.target for s in samples]
+
+        batch_src = icp.stack_clouds(sources)
+        batch_tgt = icp.stack_clouds(targets)
+        res = icp.run_icp_batch(
+            cfg, batch_src, batch_tgt,
+            gt_source_points=np.stack([np.asarray(s.points) for s in sources]),
+            gt_target_points=np.stack(originals),
+            gt_valid=np.stack(gt_valids),
+            key=jax.random.PRNGKey(seed + start),
+            run_benchmark=True,
+        )
+        rmse = np.asarray(jax.device_get(res.trace.rmse))
+        bench = np.asarray(jax.device_get(res.trace.benchmark))
+        poses = np.asarray(jax.device_get(res.pose))
+
+        for bi, index in enumerate(idxs):
+            eye = jnp.eye(4)
+            initial_error = float(jax.device_get(measure.benchmark_error(
+                eye, sources[bi].points, jnp.asarray(originals[bi]),
+                sources[bi].valid)))
+            initial_rmse = float(jax.device_get(measure.rmse_alignment_error(
+                eye, sources[bi].points, jnp.asarray(originals[bi]),
+                sources[bi].valid)))
+            final_error = float(bench[bi, -1])
+            result.pairs.append(ETHPairResult(
+                index=index,
+                initial_error=initial_error,
+                final_error=final_error,
+                initial_rmse=initial_rmse,
+                final_rmse=float(rmse[bi, -1]),
+                rmse_per_iteration=rmse[bi],
+                benchmark_per_iteration=bench[bi],
+                pose=poses[bi],
+            ))
+            if final_error < result.min_error:
+                result.min_error, result.index_min_error = final_error, index
+            rel = final_error / max(initial_error, 1e-30)
+            if rel < result.min_relative_error:
+                result.min_relative_error, result.index_min_relative_error = rel, index
+
+    return result
+
+
+def refine_trajectory(result: ETHRunResult, weights: np.ndarray | None = None):
+    """Pose-graph refinement over a SEQUENTIAL ETH run (pair k registers
+    scan k+1 onto scan k): chains the per-pair ICP poses into absolute scan
+    poses and jointly refines them (parallel/pose_graph) — the global
+    consistency step the reference never performs.
+
+    Note each ETH pair was solved in its own perturbed frame; the chained
+    pose of pair k composes its ICP estimate with the applied perturbation,
+    so the relative edge is ``icp_pose @ scaled_perturbation``.
+    """
+    from icp_variants_tpu.parallel import pose_graph
+
+    rel = np.stack([p.pose for p in result.pairs])
+    odometry, graph = pose_graph.sequential_graph(rel, weights)
+    refined = np.asarray(pose_graph.refine(odometry, graph))
+    return odometry, refined, graph
+
+
 def align_eth(
     csv_path: str,
     cfg: ICPConfig | None = None,

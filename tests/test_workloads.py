@@ -176,3 +176,43 @@ class TestExperiments:
         # Resume: re-run touches nothing new (same summary back).
         summary2 = experiments.run_experiments(str(csv_path), out_dir=out_dir)
         assert summary2 == summary
+
+
+class TestETHBatch:
+    def test_batch_matches_sequential(self, tmp_path):
+        csv_path = make_eth_sequence(tmp_path, n_pairs=3)
+        cfg = eth.default_config(
+            metric=Metric.POINT_TO_PLANE,
+            minimizer=Minimizer.LINEAR,
+            n_iterations=8,
+            max_distance=0.05,
+        )
+        seq = eth.align_eth(csv_path, cfg, pose_scaling=0.5, capacity=512, seed=0)
+        bat = eth.align_eth_batch(
+            csv_path, cfg, pose_scaling=0.5, capacity=512, batch_size=2, seed=0
+        )
+        assert len(bat.pairs) == 3
+        for p_seq, p_bat in zip(seq.pairs, bat.pairs):
+            # Same convergence basin; PRNG streams differ (batch splits keys
+            # differently), so allow small slack.
+            assert abs(p_seq.final_error - p_bat.final_error) < max(
+                0.2 * p_seq.final_error, 1e-3
+            )
+            assert p_bat.final_error < p_bat.initial_error * 0.5
+
+    def test_trajectory_refinement(self, tmp_path):
+        csv_path = make_eth_sequence(tmp_path, n_pairs=3)
+        cfg = eth.default_config(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            n_iterations=8, max_distance=0.05,
+        )
+        res = eth.align_eth_batch(
+            csv_path, cfg, pose_scaling=0.5, capacity=512, batch_size=3
+        )
+        odometry, refined, graph = eth.refine_trajectory(res)
+        assert odometry.shape == refined.shape == (4, 4, 4)
+        assert np.isfinite(refined).all()
+        for P_ in refined:
+            np.testing.assert_allclose(
+                P_[:3, :3] @ P_[:3, :3].T, np.eye(3), atol=1e-4
+            )
