@@ -43,10 +43,10 @@ TILE_T = 1024
 # Feature dim padded to the f32 sublane multiple.
 FEATURE_PAD = 8
 # Target tile for the INDEXED (pruned) paths. The visited-list kernel (v2)
-# measured best at 1024 on v5e for both compacted-query and full-cloud
-# sweeps: fine enough for tight bboxes, coarse enough to amortize DMA
-# latency per visited tile.
-INDEX_TILE_T = 1024
+# with an 8-tile inner chunk measured best at 512 on v5e: fine tiles keep
+# the bboxes tight (more pruning) while the chunked DMA+matmul amortizes
+# per-tile latency.
+INDEX_TILE_T = 512
 
 
 def _pad_features(x: jax.Array) -> jax.Array:
@@ -444,30 +444,34 @@ def nn_search_pruned(
 V2_TILE_T = 512
 
 
-def _make_visited_kernel(tile_t: int, max_v: int):
+def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
+    """Each inner step streams CHUNK visited tiles (one DMA per tile, one
+    wait + one fat matmul for the whole chunk) — amortizes DMA latency and
+    keeps the MXU fed. Visit lists are padded with tile 0 to a chunk
+    multiple; redundant tiles are harmless (running-min is idempotent)."""
+
     def kernel(
-        count_ref,        # scalar prefetch: (nq_tiles,) int32
+        count_ref,        # scalar prefetch: (nq_tiles,) int32, chunk counts
         bound_ref,        # scalar prefetch: (1,) f32
-        vlist_ref,        # (nq_tiles, max_v) int32 in ANY/HBM
-        t_ref,            # (Nt, 8) in ANY/HBM
+        vlist_ref,        # (nq_tiles, 8, max_v) int32 in HBM
+        t_ref,            # (n_tiles, 8, tile_t) in HBM
         q_ref,            # (tile_q, 8) VMEM block
         qn2_ref,          # (tile_q, 1) VMEM block
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
-        vrow_ref,         # SMEM scratch (max_v,)
-        tbuf_ref,         # VMEM scratch (2, tile_t, 8)
-        copy_sems,        # DMA semaphores (3,)
+        vrow_ref,         # SMEM scratch (8, max_v)
+        tbuf_ref,         # VMEM scratch (2, 8, chunk*tile_t)
+        copy_sems,        # DMA semaphores (2, chunk) + row sem (last)
+        row_sem,
     ):
         i = pl.program_id(0)
-        count = count_ref[i]
+        n_chunks = count_ref[i]
         bound = bound_ref[0]
 
         # Fetch this query tile's visited-tile ids into SMEM. The list is
         # stored 8-row-replicated so the HBM slice satisfies Mosaic's
         # (8, 128) int32 tiling; only row 0 is read.
-        row_dma = pltpu.make_async_copy(
-            vlist_ref.at[i], vrow_ref, copy_sems.at[2]
-        )
+        row_dma = pltpu.make_async_copy(vlist_ref.at[i], vrow_ref, row_sem)
         row_dma.start()
 
         dist_ref[:] = jnp.full_like(dist_ref, bound)
@@ -475,31 +479,38 @@ def _make_visited_kernel(tile_t: int, max_v: int):
 
         row_dma.wait()
 
-        def tile_dma(slot, k):
-            tile_id = vrow_ref[0, k]
-            # t_ref is tile-major TRANSPOSED (n_tiles, 8, tile_t): a whole
-            # (8, tile_t) page per DMA — sublane 8, lane tile_t (128-mult.),
-            # and already feature-major for the q @ t contraction.
+        def tile_dma(slot, k, j):
+            tile_id = vrow_ref[0, k * chunk + j]
+            # t_ref pages are TRANSPOSED (8, tile_t): sublane 8, lane tile_t
+            # (128-multiple), feature-major for the q @ t contraction.
             return pltpu.make_async_copy(
                 t_ref.at[tile_id],
-                tbuf_ref.at[slot],
-                copy_sems.at[slot],
+                tbuf_ref.at[slot, :, pl.ds(j * tile_t, tile_t)],
+                copy_sems.at[slot, j],
             )
 
-        @pl.when(count > 0)
+        def start_chunk(slot, k):
+            for j in range(chunk):
+                tile_dma(slot, k, j).start()
+
+        def wait_chunk(slot, k):
+            for j in range(chunk):
+                tile_dma(slot, k, j).wait()
+
+        @pl.when(n_chunks > 0)
         def _():
-            tile_dma(0, 0).start()
+            start_chunk(0, 0)
 
             def body(k, _):
                 slot = jax.lax.rem(k, 2)
                 next_slot = jax.lax.rem(k + 1, 2)
 
-                @pl.when(k + 1 < count)
+                @pl.when(k + 1 < n_chunks)
                 def _():
-                    tile_dma(next_slot, k + 1).start()
+                    start_chunk(next_slot, k + 1)
 
-                tile_dma(slot, k).wait()
-                t = tbuf_ref[slot]                      # (8, tile_t)
+                wait_chunk(slot, k)
+                t = tbuf_ref[slot]                      # (8, chunk*tile_t)
                 g = jax.lax.dot_general(
                     q_ref[:], t,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -507,18 +518,23 @@ def _make_visited_kernel(tile_t: int, max_v: int):
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 tn2 = jnp.sum(t * t, axis=0).reshape(1, -1)
-                d2 = qn2_ref[:] + tn2 - 2.0 * g
+                d2 = qn2_ref[:] + tn2 - 2.0 * g          # (tile_q, chunk*tile_t)
                 local_min = jnp.min(d2, axis=1, keepdims=True)
-                local_arg = (
-                    jnp.argmin(d2, axis=1).astype(jnp.int32).reshape(-1, 1)
-                    + vrow_ref[0, k] * tile_t
-                )
+                gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)  # in [0, chunk*tile_t)
+                sub = jax.lax.rem(gpos, tile_t)
+                seg = gpos // tile_t                     # which chunk member won
+                base = jnp.full_like(gpos, vrow_ref[0, k * chunk])
+                for j in range(1, chunk):
+                    base = jnp.where(
+                        seg == j, vrow_ref[0, k * chunk + j], base
+                    )
+                local_arg = (base * tile_t + sub).reshape(-1, 1)
                 better = local_min < dist_ref[:]
                 idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
                 dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
                 return 0
 
-            jax.lax.fori_loop(0, count, body, 0)
+            jax.lax.fori_loop(0, n_chunks, body, 0)
 
     return kernel
 
@@ -551,7 +567,7 @@ def _visit_lists(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_q", "tile_t")
+    jax.jit, static_argnames=("interpret", "tile_q", "tile_t", "chunk")
 )
 def nn_search_pruned_v2(
     queries: jax.Array,
@@ -561,6 +577,7 @@ def nn_search_pruned_v2(
     interpret: bool = False,
     tile_q: int = TILE_Q,
     tile_t: int = V2_TILE_T,
+    chunk: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
     """Visited-list exact 1-NN. Same contract as :func:`nn_search_pruned`;
     build the index with ``build_target_index(..., tile_t=V2_TILE_T)``."""
@@ -581,6 +598,9 @@ def nn_search_pruned_v2(
     vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
     # 8-row replication for tiling-legal (1-row worth of) HBM slices.
     vlist = jnp.broadcast_to(vlist[:, None, :], (nq_tiles, 8, max_v))
+    # Chunked inner loop: counts in whole chunks; list slots past the true
+    # count hold tile 0 (valid), so over-read chunks are merely redundant.
+    counts = (counts + (chunk - 1)) // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -597,12 +617,13 @@ def nn_search_pruned_v2(
         ],
         scratch_shapes=[
             pltpu.SMEM((8, max_v), jnp.int32),
-            pltpu.VMEM((2, FEATURE_PAD, tile_t), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, FEATURE_PAD, chunk * tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     dist, idx = pl.pallas_call(
-        _make_visited_kernel(tile_t, max_v),
+        _make_visited_kernel(tile_t, max_v, chunk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),

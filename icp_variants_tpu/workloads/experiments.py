@@ -99,57 +99,72 @@ def run_experiments(
             continue
         prefix = os.path.join(out_dir, row.name)
 
-        if row.exp_type == "bunny":
-            res = bunny_wl.align_bunny(row.config, data_dir=bunny_data_dir, seed=i)
-            write_error_file(f"{prefix}_RMSE.txt", res.rmse_per_iteration)
-            summary[key] = {
-                "type": "bunny",
-                "final_rmse": res.final_rmse,
-                "config": row.config.describe(),
-            }
-        elif row.exp_type == "room":
-            if room_data_dir is None:
-                summary[key] = {"type": "room", "skipped": "no room_data_dir"}
-            else:
-                from icp_variants_tpu.workloads import room as room_wl
-
-                res = room_wl.reconstruct_room(room_data_dir, row.config)
-                for fi, curve in enumerate(res.rmse_per_frame):
-                    write_error_file(f"{prefix}_RMSE{fi}.txt", curve)
-                summary[key] = {
-                    "type": "room",
-                    "final_rmse": res.final_rmse,
-                    "config": row.config.describe(),
-                }
-        elif row.exp_type == "eth":
-            if eth_csv_path is None:
-                summary[key] = {"type": "eth", "skipped": "no eth_csv_path"}
-            else:
-                from icp_variants_tpu.workloads import eth as eth_wl
-
-                # experiment.cpp:327-328 applies the UNSCALED GT pose.
-                res = eth_wl.align_eth(
-                    eth_csv_path, row.config, pose_scaling=1.0,
-                    max_pairs=max_pairs, seed=i,
-                )
-                for p in res.pairs:
-                    write_error_file(f"{prefix}_RMSE{p.index}.txt", p.rmse_per_iteration)
-                    write_error_file(
-                        f"{prefix}_Benchmark{p.index}.txt", p.benchmark_per_iteration
-                    )
-                write_error_file(f"{prefix}_benchmark_error.txt", res.final_errors)
-                summary[key] = {
-                    "type": "eth",
-                    "final_errors": res.final_errors.tolist(),
-                    "config": row.config.describe(),
-                }
-        else:
-            summary[key] = {"skipped": f"unknown expType {row.exp_type!r}"}
+        try:
+            _run_row(row, prefix, summary, key, bunny_data_dir, room_data_dir,
+                     eth_csv_path, max_pairs, i)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive bad rows
+            # Failure containment: a crashing config (bad data path, OOM,
+            # degenerate geometry) is recorded and the sweep continues —
+            # the reference gets the same property implicitly from its
+            # restartable per-file outputs (SURVEY §5).
+            summary[key] = {"type": row.exp_type, "error": repr(exc)}
 
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=2)
 
     return summary
+
+
+def _run_row(row, prefix, summary, key, bunny_data_dir, room_data_dir,
+             eth_csv_path, max_pairs, i):
+    from icp_variants_tpu.workloads import bunny as bunny_wl
+
+    if row.exp_type == "bunny":
+        res = bunny_wl.align_bunny(row.config, data_dir=bunny_data_dir, seed=i)
+        write_error_file(f"{prefix}_RMSE.txt", res.rmse_per_iteration)
+        summary[key] = {
+            "type": "bunny",
+            "final_rmse": res.final_rmse,
+            "config": row.config.describe(),
+        }
+    elif row.exp_type == "room":
+        if room_data_dir is None:
+            summary[key] = {"type": "room", "skipped": "no room_data_dir"}
+        else:
+            from icp_variants_tpu.workloads import room as room_wl
+
+            res = room_wl.reconstruct_room(room_data_dir, row.config)
+            for fi, curve in enumerate(res.rmse_per_frame):
+                write_error_file(f"{prefix}_RMSE{fi}.txt", curve)
+            summary[key] = {
+                "type": "room",
+                "final_rmse": res.final_rmse,
+                "config": row.config.describe(),
+            }
+    elif row.exp_type == "eth":
+        if eth_csv_path is None:
+            summary[key] = {"type": "eth", "skipped": "no eth_csv_path"}
+        else:
+            from icp_variants_tpu.workloads import eth as eth_wl
+
+            # experiment.cpp:327-328 applies the UNSCALED GT pose.
+            res = eth_wl.align_eth(
+                eth_csv_path, row.config, pose_scaling=1.0,
+                max_pairs=max_pairs, seed=i,
+            )
+            for p in res.pairs:
+                write_error_file(f"{prefix}_RMSE{p.index}.txt", p.rmse_per_iteration)
+                write_error_file(
+                    f"{prefix}_Benchmark{p.index}.txt", p.benchmark_per_iteration
+                )
+            write_error_file(f"{prefix}_benchmark_error.txt", res.final_errors)
+            summary[key] = {
+                "type": "eth",
+                "final_errors": res.final_errors.tolist(),
+                "config": row.config.describe(),
+            }
+    else:
+        summary[key] = {"skipped": f"unknown expType {row.exp_type!r}"}
 
 
 if __name__ == "__main__":
