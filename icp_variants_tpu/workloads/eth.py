@@ -13,6 +13,7 @@ applies the unscaled pose; ``pose_scaling`` selects either.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import jax
@@ -24,6 +25,9 @@ from icp_variants_tpu.core import se3
 from icp_variants_tpu.data.loaders import ETHDataLoader
 from icp_variants_tpu.pipeline import icp, measure
 from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer, Selection
+
+
+logger = logging.getLogger("icp_variants_tpu.eth")
 
 
 def default_config(**overrides) -> ICPConfig:
@@ -197,9 +201,11 @@ def align_eth(
     cfg = cfg or default_config()
     loader = ETHDataLoader(csv_path, data_root=data_root, capacity=capacity)
     result = ETHRunResult()
+    logger.info("%s", cfg.describe())
 
     n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
     for index in range(n):
+        logger.info("processing pair %d/%d", index, n)
         sample = loader.get_item(index)
         original_points = np.asarray(sample.source.points)
         scaled = scale_pose(sample.pose, pose_scaling)
@@ -224,6 +230,10 @@ def align_eth(
         bench = np.asarray(jax.device_get(res.trace.benchmark))
         final_error = float(bench[-1])
 
+        logger.info(
+            "pair %d: benchmark %.5f -> %.5f, rmse %.5f -> %.5f",
+            index, initial_error, final_error, initial_rmse, float(rmse[-1]),
+        )
         result.pairs.append(ETHPairResult(
             index=index,
             initial_error=initial_error,

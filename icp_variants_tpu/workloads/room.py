@@ -12,6 +12,7 @@ the source full-size, otherwise the source is stride-8 downsampled
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import jax
@@ -21,6 +22,9 @@ from icp_variants_tpu.core import se3
 from icp_variants_tpu.data import rgbd, tum
 from icp_variants_tpu.pipeline import icp
 from icp_variants_tpu.pipeline.config import ICPConfig, Matching, Metric, Minimizer
+
+
+logger = logging.getLogger("icp_variants_tpu.room")
 
 
 def default_config(**overrides) -> ICPConfig:
@@ -150,6 +154,9 @@ def reconstruct_room(
         current_camera_to_world = np.asarray(jax.device_get(res.pose))
         rmse = np.asarray(jax.device_get(res.trace.rmse))
 
+        logger.info(
+            "frame %d: rmse %.5f -> %.5f", frame.index, init_rmse, float(rmse[-1])
+        )
         result.rmse_per_frame.append(rmse)
         result.initial_rmse.append(init_rmse)
         result.final_rmse.append(float(rmse[-1]))
