@@ -65,7 +65,7 @@ def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
     cfg = ICPConfig(
         metric=Metric.SYMMETRIC,
         minimizer=Minimizer.LINEAR,
-        selection=Selection.RANDOM,
+        selection=Selection.RANDOM_FAST,
         selection_proba=SELECTION_P,
         n_iterations=N_ITERATIONS,
         max_distance=MAX_DISTANCE,

@@ -454,30 +454,36 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
         count_ref,        # scalar prefetch: (nq_tiles,) int32, chunk counts
         bound_ref,        # scalar prefetch: (1,) f32
         vlist_ref,        # (nq_tiles, 8, max_v) int32 in HBM
+        lblist_ref,       # (nq_tiles, 8, max_v) f32 in HBM
         t_ref,            # (n_tiles, 8, tile_t) in HBM
         q_ref,            # (tile_q, 8) VMEM block
         qn2_ref,          # (tile_q, 1) VMEM block
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
         vrow_ref,         # SMEM scratch (8, max_v)
+        lbrow_ref,        # SMEM scratch (8, max_v)
         tbuf_ref,         # VMEM scratch (2, 8, chunk*tile_t)
-        copy_sems,        # DMA semaphores (2, chunk) + row sem (last)
+        copy_sems,        # DMA semaphores (2, chunk)
         row_sem,
+        lb_sem,
     ):
         i = pl.program_id(0)
         n_chunks = count_ref[i]
         bound = bound_ref[0]
 
-        # Fetch this query tile's visited-tile ids into SMEM. The list is
-        # stored 8-row-replicated so the HBM slice satisfies Mosaic's
-        # (8, 128) int32 tiling; only row 0 is read.
+        # Fetch this query tile's visited-tile ids + lower bounds into SMEM.
+        # Lists are stored 8-row-replicated so the HBM slices satisfy
+        # Mosaic's (8, 128) tiling; only row 0 is read.
         row_dma = pltpu.make_async_copy(vlist_ref.at[i], vrow_ref, row_sem)
         row_dma.start()
+        lb_dma = pltpu.make_async_copy(lblist_ref.at[i], lbrow_ref, lb_sem)
+        lb_dma.start()
 
         dist_ref[:] = jnp.full_like(dist_ref, bound)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
         row_dma.wait()
+        lb_dma.wait()
 
         def tile_dma(slot, k, j):
             tile_id = vrow_ref[0, k * chunk + j]
@@ -510,6 +516,22 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
                     start_chunk(next_slot, k + 1)
 
                 wait_chunk(slot, k)
+
+                # Running-best prune (exact): if this chunk's best possible
+                # distance exceeds the WORST current best across the query
+                # tile, no row can improve — skip the compute (the DMA
+                # already ran; compute dominates).
+                chunk_lb = lbrow_ref[0, k * chunk]
+                for j in range(1, chunk):
+                    chunk_lb = jnp.minimum(chunk_lb, lbrow_ref[0, k * chunk + j])
+                worst_best = jnp.max(dist_ref[:])
+
+                @pl.when(chunk_lb <= worst_best)
+                def _():
+                    _compute(slot, k)
+                return 0
+
+            def _compute(slot, k):
                 t = tbuf_ref[slot]                      # (8, chunk*tile_t)
                 g = jax.lax.dot_general(
                     q_ref[:], t,
@@ -532,7 +554,6 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
                 better = local_min < dist_ref[:]
                 idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
                 dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
-                return 0
 
             jax.lax.fori_loop(0, n_chunks, body, 0)
 
@@ -562,8 +583,15 @@ def _visit_lists(
     vlist = vlist.at[rows.reshape(-1), slot.reshape(-1)].set(
         cols.reshape(-1).astype(jnp.int32), mode="drop"
     )
+    # Per-slot lower bounds, aligned with vlist (padding slots stay 0.0, so
+    # they are never skipped by the in-kernel running-best prune — merely
+    # redundant, never wrong).
+    lblist = jnp.zeros((nqt, ntt), jnp.float32)
+    lblist = lblist.at[rows.reshape(-1), slot.reshape(-1)].set(
+        lb.reshape(-1), mode="drop"
+    )
     counts = jnp.sum(visited, axis=1).astype(jnp.int32)
-    return vlist, counts
+    return vlist, lblist, counts
 
 
 @functools.partial(
@@ -590,14 +618,16 @@ def nn_search_pruned_v2(
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
     qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
-    vlist, counts = _visit_lists(
+    vlist, lblist, counts = _visit_lists(
         jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
         index.bbox_min, index.bbox_max, bound_val,
     )
     max_v = ((n_tiles + 127) // 128) * 128
     vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
+    lblist = jnp.pad(lblist, ((0, 0), (0, max_v - n_tiles)))
     # 8-row replication for tiling-legal (1-row worth of) HBM slices.
     vlist = jnp.broadcast_to(vlist[:, None, :], (nq_tiles, 8, max_v))
+    lblist = jnp.broadcast_to(lblist[:, None, :], (nq_tiles, 8, max_v))
     # Chunked inner loop: counts in whole chunks; list slots past the true
     # count hold tile 0 (valid), so over-read chunks are merely redundant.
     counts = (counts + (chunk - 1)) // chunk
@@ -607,6 +637,7 @@ def nn_search_pruned_v2(
         grid=(nq_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # vlist (DMA'd per q-tile)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # lblist (DMA'd per q-tile)
             pl.BlockSpec(memory_space=pltpu.HBM),   # target points (DMA'd per visited tile)
             pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -617,8 +648,10 @@ def nn_search_pruned_v2(
         ],
         scratch_shapes=[
             pltpu.SMEM((8, max_v), jnp.int32),
+            pltpu.SMEM((8, max_v), jnp.float32),
             pltpu.VMEM((2, FEATURE_PAD, chunk * tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -637,6 +670,7 @@ def nn_search_pruned_v2(
         counts,
         jnp.asarray([bound_val], jnp.float32),
         vlist,
+        lblist,
         index.points_t3,
         q,
         qn2,

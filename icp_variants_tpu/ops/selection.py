@@ -25,3 +25,22 @@ def random_sampling(
     ``proba`` (selection.h:88-106)."""
     u = jax.random.uniform(key, base_mask.shape)
     return base_mask & (u < proba)
+
+
+def random_indices(
+    key: jax.Array, n: int, count: int, capacity: int
+) -> tuple[jax.Array, jax.Array]:
+    """RANDOM_FAST: jittered STRATIFIED draw — slot k samples uniformly
+    inside stratum [k*n/count, (k+1)*n/count). Fixed count, ascending by
+    construction (preserves the Morton coherence the pruned k-NN kernel
+    needs — an unsorted uniform draw would collapse the bbox pruning), and
+    uniform spatial coverage, which is if anything a better subsample for
+    ICP than iid Bernoulli."""
+    slots = jnp.arange(capacity)
+    starts = (slots * n) // count
+    ends = ((slots + 1) * n) // count
+    width = jnp.maximum(ends - starts, 1)
+    u = jax.random.uniform(key, (capacity,))
+    idx = jnp.minimum(starts + (u * width).astype(jnp.int32), n - 1)
+    mask = slots < count
+    return idx, mask

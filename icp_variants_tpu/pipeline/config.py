@@ -14,10 +14,14 @@ from dataclasses import dataclass, replace
 
 
 class Selection(enum.IntEnum):
-    """selection.h:8 — ``selection_methods``."""
+    """selection.h:8 — ``selection_methods``; RANDOM_FAST is an extension:
+    a fixed-count uniform index draw instead of Bernoulli + compaction
+    (statistically equivalent subsampling, one gather instead of a
+    full-cloud cumsum per iteration)."""
 
     ALL = 0
     RANDOM = 1
+    RANDOM_FAST = 2
 
 
 class Matching(enum.IntEnum):

@@ -129,6 +129,23 @@ def _iteration(
         base_mask = source.valid
     if cfg.selection == Selection.RANDOM:
         sel_mask = selection.random_sampling(key, base_mask, cfg.selection_proba)
+    elif cfg.selection == Selection.RANDOM_FAST:
+        # Fixed-count uniform draw: skips the full-cloud Bernoulli + cumsum
+        # compaction entirely — one gather does selection AND compaction.
+        k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
+        n_draw = min(int(source.capacity * cfg.selection_proba + 0.5), k_cap)
+        sel_idx, sel_mask = selection.random_indices(
+            key, source.capacity, n_draw, k_cap
+        )
+        sel_mask = sel_mask & base_mask[sel_idx]
+        source = Cloud(
+            points=jnp.where(
+                sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
+            ),
+            normals=source.normals[sel_idx],
+            colors=source.colors[sel_idx],
+            valid=sel_mask,
+        )
     else:
         sel_mask = selection.select_all(base_mask)
 
