@@ -28,7 +28,7 @@ N_ITERATIONS = 50           # main.cpp:366
 SELECTION_P = 0.01          # main.cpp:379
 MAX_DISTANCE = 10.0         # main.cpp:361
 N_TIMED_RUNS = 3
-BATCH_PAIRS = 4             # data-parallel pairs per program (single chip)
+BATCH_PAIRS = 8             # data-parallel pairs per program (single chip)
 
 
 def synth_cloud(n, seed):
