@@ -39,6 +39,7 @@ if _cache.lower() not in ("0", "off", ""):
     except Exception:
         pass
 
+from icp_variants_tpu.api import RegistrationResult, register
 from icp_variants_tpu.core.cloud import Cloud
 from icp_variants_tpu.pipeline.config import (
     ICPConfig,
@@ -55,6 +56,8 @@ __all__ = [
     "Matching",
     "Metric",
     "Minimizer",
+    "RegistrationResult",
     "Selection",
     "Weighting",
+    "register",
 ]

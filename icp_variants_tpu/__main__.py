@@ -1,0 +1,122 @@
+"""CLI dispatcher: the two reference executables plus workload shortcuts.
+
+    python -m icp_variants_tpu bunny [--artifacts-dir out]
+    python -m icp_variants_tpu room <tum_dataset_dir> [--artifacts-dir out]
+    python -m icp_variants_tpu eth <pose_csv> [--max-pairs N] [--batch N]
+    python -m icp_variants_tpu experiments <config.csv> [--out-dir out]
+
+Mirrors the reference's `icp_variants` (main.cpp) and `experiments`
+(experiment.cpp) binaries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="icp_variants_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bunny", help="align the Stanford bunny pair")
+    b.add_argument("--metric", type=int, default=0, help="0 point 1 plane 2 symmetric")
+    b.add_argument("--linear", action="store_true")
+    b.add_argument("--artifacts-dir")
+
+    r = sub.add_parser("room", help="TUM RGB-D frame-to-frame-0 tracking")
+    r.add_argument("dataset_dir")
+    r.add_argument("--metric", type=int, default=0)
+    r.add_argument("--linear", action="store_true")
+    r.add_argument("--projective", action="store_true")
+    r.add_argument("--frame-step", type=int, default=10)
+    r.add_argument("--max-frames", type=int, default=10)
+    r.add_argument("--artifacts-dir")
+
+    e = sub.add_parser("eth", help="ETH registration benchmark sweep")
+    e.add_argument("pose_csv")
+    e.add_argument("--metric", type=int, default=0)
+    e.add_argument("--linear", action="store_true")
+    e.add_argument("--max-pairs", type=int)
+    e.add_argument("--batch", type=int, default=0, help=">0: batched runner")
+    e.add_argument("--pose-scaling", type=float, default=0.1)
+
+    x = sub.add_parser("experiments", help="CSV config-matrix sweep")
+    x.add_argument("config_csv")
+    x.add_argument("--out-dir", default="out")
+    x.add_argument("--room-data-dir")
+    x.add_argument("--eth-csv-path")
+    x.add_argument("--max-pairs", type=int)
+
+    args = ap.parse_args(argv)
+
+    from icp_variants_tpu.pipeline.config import Metric, Minimizer
+
+    def mm(metric, linear):
+        return dict(
+            metric=Metric(metric),
+            minimizer=Minimizer.LINEAR if linear else Minimizer.NONLINEAR_LM,
+        )
+
+    if args.cmd == "bunny":
+        from icp_variants_tpu.workloads import bunny
+
+        cfg = bunny.default_config(**mm(args.metric, args.linear))
+        res = bunny.align_bunny(cfg, artifacts_dir=args.artifacts_dir)
+        for i, v in enumerate(res.rmse_per_iteration):
+            print(f"  {i:02d}  {v:.6f}")
+        print("final RMSE:", res.final_rmse)
+        return 0
+
+    if args.cmd == "room":
+        from icp_variants_tpu.pipeline.config import Matching
+        from icp_variants_tpu.workloads import room
+
+        cfg = room.default_config(
+            **mm(args.metric, args.linear),
+            matching=Matching.PROJECTIVE if args.projective else Matching.KNN,
+        )
+        res = room.reconstruct_room(
+            args.dataset_dir, cfg, frame_step=args.frame_step,
+            max_frames=args.max_frames, artifacts_dir=args.artifacts_dir,
+        )
+        for i, (a, b_) in enumerate(zip(res.initial_rmse, res.final_rmse)):
+            print(f"frame {i}: rmse {a:.5f} -> {b_:.5f}")
+        return 0
+
+    if args.cmd == "eth":
+        from icp_variants_tpu.workloads import eth
+
+        cfg = eth.default_config(**mm(args.metric, args.linear))
+        if args.batch > 0:
+            res = eth.align_eth_batch(
+                args.pose_csv, cfg, pose_scaling=args.pose_scaling,
+                max_pairs=args.max_pairs, batch_size=args.batch,
+            )
+        else:
+            res = eth.align_eth(
+                args.pose_csv, cfg, pose_scaling=args.pose_scaling,
+                max_pairs=args.max_pairs,
+            )
+        for p in res.pairs:
+            print(f"pair {p.index}: benchmark {p.initial_error:.5f} -> {p.final_error:.5f}")
+        print("min error", res.min_error, "at", res.index_min_error)
+        return 0
+
+    if args.cmd == "experiments":
+        from icp_variants_tpu.workloads import experiments
+
+        s = experiments.run_experiments(
+            args.config_csv, out_dir=args.out_dir,
+            room_data_dir=args.room_data_dir, eth_csv_path=args.eth_csv_path,
+            max_pairs=args.max_pairs,
+        )
+        print(json.dumps(s, indent=2))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
