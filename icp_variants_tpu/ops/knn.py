@@ -575,7 +575,27 @@ def _visit_lists(
     lb = jnp.sum(gap * gap, axis=-1)               # (nqt, ntt)
     visited = lb <= bound_val
     nqt, ntt = visited.shape
-    pos = jnp.cumsum(visited, axis=1) - visited.astype(jnp.int32)
+
+    # Order each row's visited tiles by lower-bound OCTAVE (8-bin counting
+    # sort — device argsort compiles pathologically here): nearest tiles
+    # come first, so the kernel's running-best prune collapses the bound
+    # after the first chunks and skips most of the rest. Order is irrelevant
+    # to correctness (running min); it only decides how early pruning bites.
+    nbins = 8
+    binid = jnp.clip(
+        (lb * (nbins / jnp.maximum(bound_val, 1e-30))).astype(jnp.int32),
+        0, nbins - 1,
+    )
+    onehot = (
+        (binid[..., None] == jnp.arange(nbins)[None, None, :]) & visited[..., None]
+    ).astype(jnp.int32)                            # (nqt, ntt, nbins)
+    rank_in_bin = jnp.cumsum(onehot, axis=1) - onehot
+    bin_counts = jnp.sum(onehot, axis=1)           # (nqt, nbins)
+    bin_offsets = jnp.cumsum(bin_counts, axis=1) - bin_counts
+    pos = jnp.sum(
+        onehot * (bin_offsets[:, None, :] + rank_in_bin), axis=-1
+    )                                              # (nqt, ntt)
+
     rows = jnp.broadcast_to(jnp.arange(nqt)[:, None], (nqt, ntt))
     cols = jnp.broadcast_to(jnp.arange(ntt)[None, :], (nqt, ntt))
     slot = jnp.where(visited, pos, ntt)            # ntt = out-of-range => drop
