@@ -66,6 +66,14 @@ def register(
 
     config = config or ICPConfig()
 
+    # Projective matching indexes the target as an image grid (v*width+u,
+    # ops/projective.py); Morton ordering would scramble that layout into
+    # silently wrong correspondences. Keep image order for projective runs
+    # (the room workload path); Morton-order otherwise for k-NN pruning.
+    from icp_variants_tpu.pipeline.config import Matching
+
+    morton = config.matching != Matching.PROJECTIVE
+
     def make_cloud(pts, nrm, col):
         pts = np.asarray(pts, np.float32)
         if nrm is None:
@@ -76,7 +84,7 @@ def register(
                 )
             )
         return cloud_lib.from_numpy(
-            pts, normals=nrm, colors=col, morton_order=True
+            pts, normals=nrm, colors=col, morton_order=morton
         )
 
     source = make_cloud(source_points, source_normals, source_colors)

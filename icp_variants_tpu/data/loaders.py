@@ -160,6 +160,20 @@ class ETHDataLoader(DataLoader):
             pts, normals=normals, capacity=self.capacity, morton_order=True
         )
 
+    def point_counts(self, max_pairs: int | None = None) -> np.ndarray:
+        """(n_pairs, 2) point counts of every (source, target) pair, from the
+        .pcd headers only — cheap pre-scan for choosing a shared capacity."""
+        from icp_variants_tpu.data import pcd_io
+
+        n = self.get_length() if max_pairs is None else min(max_pairs, self.get_length())
+        out = np.zeros((n, 2), np.int64)
+        for i in range(n):
+            row = self.rows[i + 1]
+            for c, name in enumerate(row[1:3]):
+                path = os.path.join(self.data_root, self.data_name, name)
+                out[i, c] = pcd_io.read_pcd_point_count(path)
+        return out
+
     def get_item(self, index: int) -> Sample:
         if index >= self.get_length():
             raise IndexError(

@@ -81,6 +81,22 @@ def read_pcd(path: str) -> np.ndarray:
     raise ValueError(f"{path}: unsupported PCD DATA kind {data_kind!r}")
 
 
+def read_pcd_point_count(path: str) -> int:
+    """Read only the POINTS field from a .pcd header (no body parse) —
+    lets dataset sweeps pre-scan cloud sizes to fix a shared capacity
+    before building any device arrays."""
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            if not line:
+                continue
+            key, _, rest = line.partition(" ")
+            if key.upper() == "POINTS":
+                return int(rest.split()[0])
+            if key.upper() == "DATA":
+                raise ValueError(f"{path}: header has no POINTS field")
+
+
 def write_pcd(path: str, points: np.ndarray, binary: bool = True) -> None:
     """Write xyz points as a v0.7 .pcd (round-trip partner of read_pcd)."""
     points = np.asarray(points, np.float32)

@@ -399,11 +399,18 @@ def run_icp_batch(
     gt_valid=None,
     key=None,
     run_benchmark: bool = False,
+    num_source_points: int | None = None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
     pairs/sec headline. All Cloud leaves carry a leading batch dimension;
     multires stride schedules are shared (pass equal-capacity clouds).
+
+    ``num_source_points`` seeds the shared multires stride schedule; pass
+    the max VALID count across the batch (the single-pair runner's
+    source.getPoints().size() analog, ICPOptimizer.h:196). Defaults to the
+    padded capacity, which for heavily padded clouds starts one level
+    coarser than the equivalent single-pair run.
     """
     b = sources.points.shape[0]
     if init_poses is None:
@@ -424,7 +431,8 @@ def run_icp_batch(
             else jnp.ones(gt_src.shape[:2], bool)
         )
 
-    num_source_points = int(sources.points.shape[1])
+    if num_source_points is None:
+        num_source_points = int(sources.points.shape[1])
     strides = cloud_lib.multires_stride_schedule(
         num_source_points, cfg.n_iterations, cfg.multi_resolution,
         cfg.multi_resolution_min_points,

@@ -76,6 +76,18 @@ class ETHPairResult:
     rmse_per_iteration: np.ndarray
     benchmark_per_iteration: np.ndarray
     pose: np.ndarray
+    # The scaled GT pose applied to the source BEFORE registration
+    # (main.cpp:419-429); the true scan-to-scan relative transform is
+    # ``pose @ perturbation``.
+    perturbation: np.ndarray = None
+
+    @property
+    def relative_pose(self) -> np.ndarray:
+        """ICP estimate composed with the applied perturbation: maps RAW
+        source-scan coordinates onto the target scan."""
+        if self.perturbation is None:
+            return self.pose
+        return self.pose @ self.perturbation
 
 
 @dataclass
@@ -111,20 +123,25 @@ def align_eth_batch(
     n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
     result = ETHRunResult()
 
+    if capacity is None and n > 0:
+        # Pre-scan ALL cloud sizes from the .pcd headers so every batch
+        # shares one capacity (and one compiled executable); rounded up to
+        # the k-NN tile multiple for shape reuse.
+        counts = loader.point_counts(max_pairs=n)
+        capacity = int(-(-int(counts.max()) // 512) * 512)
+        loader.capacity = capacity
+
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
         samples = [loader.get_item(i) for i in idxs]
-        if capacity is None:
-            # Re-load with a common capacity once the max size is known.
-            capacity = max(s.source.capacity for s in samples) if samples else None
-            loader.capacity = capacity
-        sources, originals, gt_valids = [], [], []
+        sources, originals, gt_valids, perturbations = [], [], [], []
         for s in samples:
             scaled = scale_pose(s.pose, pose_scaling)
             perturbed = perturb_cloud(s.source, scaled)
             sources.append(perturbed)
             originals.append(np.asarray(s.source.points))
             gt_valids.append(np.asarray(perturbed.valid))
+            perturbations.append(scaled)
         targets = [s.target for s in samples]
 
         batch_src = icp.stack_clouds(sources)
@@ -159,6 +176,7 @@ def align_eth_batch(
                 rmse_per_iteration=rmse[bi],
                 benchmark_per_iteration=bench[bi],
                 pose=poses[bi],
+                perturbation=perturbations[bi],
             ))
             if final_error < result.min_error:
                 result.min_error, result.index_min_error = final_error, index
@@ -177,11 +195,12 @@ def refine_trajectory(result: ETHRunResult, weights: np.ndarray | None = None):
 
     Note each ETH pair was solved in its own perturbed frame; the chained
     pose of pair k composes its ICP estimate with the applied perturbation,
-    so the relative edge is ``icp_pose @ scaled_perturbation``.
+    so the relative edge is ``icp_pose @ scaled_perturbation``
+    (``ETHPairResult.relative_pose``).
     """
     from icp_variants_tpu.parallel import pose_graph
 
-    rel = np.stack([p.pose for p in result.pairs])
+    rel = np.stack([p.relative_pose for p in result.pairs])
     odometry, graph = pose_graph.sequential_graph(rel, weights)
     refined = np.asarray(pose_graph.refine(odometry, graph))
     return odometry, refined, graph
@@ -243,6 +262,7 @@ def align_eth(
             rmse_per_iteration=rmse,
             benchmark_per_iteration=bench,
             pose=np.asarray(jax.device_get(res.pose)),
+            perturbation=scaled,
         ))
         if final_error < result.min_error:
             result.min_error, result.index_min_error = final_error, index

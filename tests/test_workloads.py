@@ -216,3 +216,81 @@ class TestETHBatch:
             np.testing.assert_allclose(
                 P_[:3, :3] @ P_[:3, :3].T, np.eye(3), atol=1e-4
             )
+        # The fixture's source and target scans are IDENTICAL clouds, so the
+        # true scan-to-scan transform is the identity: each pair's ICP
+        # estimate composed with its applied perturbation must collapse to
+        # ~I (raw p.pose is the perturbation's inverse — far from I — so
+        # this catches dropping the composition). Ditto the chained
+        # trajectory: every absolute pose stays near the identity.
+        for p in res.pairs:
+            assert np.linalg.norm(p.pose - np.eye(4)) > 0.05
+            np.testing.assert_allclose(p.relative_pose, np.eye(4), atol=0.02)
+        for traj in (odometry, refined):
+            for P_ in traj:
+                np.testing.assert_allclose(P_, np.eye(4), atol=0.05)
+
+    def test_refinement_reduces_error_on_noisy_chain(self):
+        """Pose-graph refinement beats raw odometry on a noisy ETH-style
+        result chain with a loop-closure edge (quantitative, not just
+        rigidity)."""
+        from icp_variants_tpu.core import se3
+        from icp_variants_tpu.parallel import pose_graph
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        n_pairs = 6
+
+        def rot_z(a):
+            c, s = np.cos(a), np.sin(a)
+            return np.array(
+                [[c, -s, 0, 0], [s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                np.float32,
+            )
+
+        # GT trajectory: drive 1 m, turn 60° — a hexagon returning to the
+        # start, so the loop closure has real leverage over drift.
+        step = rot_z(2 * np.pi / n_pairs)
+        step[0, 3] = 1.0
+        gt_rel = [step for _ in range(n_pairs)]
+        gt_abs = [np.eye(4, dtype=np.float32)]
+        for r in gt_rel:
+            gt_abs.append((gt_abs[-1] @ r).astype(np.float32))
+
+        pairs = []
+        for k in range(n_pairs):
+            # Noisy ICP estimate of the relative edge, split between an
+            # applied perturbation and the "ICP pose" the way align_eth does.
+            noise = np.asarray(
+                se3.increment_to_matrix(
+                    jnp.asarray(rng.normal(0, 0.01, 6), jnp.float32)
+                )
+            )
+            perturbation = eth.scale_pose(gt_rel[k], 0.4)
+            icp_pose = (
+                noise @ gt_rel[k] @ np.linalg.inv(perturbation)
+            ).astype(np.float32)
+            pairs.append(eth.ETHPairResult(
+                index=k, initial_error=1.0, final_error=0.1,
+                initial_rmse=1.0, final_rmse=0.1,
+                rmse_per_iteration=np.zeros(1),
+                benchmark_per_iteration=np.zeros(1),
+                pose=icp_pose, perturbation=perturbation,
+            ))
+        res = eth.ETHRunResult(pairs=pairs)
+        odometry, refined, graph = eth.refine_trajectory(res)
+        # Add the loop closure (scan n == scan 0) and re-refine.
+        graph = pose_graph.PoseGraph(
+            edge_i=jnp.concatenate([graph.edge_i, jnp.asarray([n_pairs], jnp.int32)]),
+            edge_j=jnp.concatenate([graph.edge_j, jnp.asarray([0], jnp.int32)]),
+            rel_poses=jnp.concatenate([graph.rel_poses, jnp.eye(4)[None]]),
+            weights=jnp.concatenate([graph.weights, jnp.asarray([4.0])]),
+        )
+        refined = np.asarray(pose_graph.refine(odometry, graph, n_iterations=10))
+
+        def traj_err(traj):
+            return np.sqrt(np.mean([
+                np.sum((t[:3, 3] - g[:3, 3]) ** 2)
+                for t, g in zip(traj, gt_abs)
+            ]))
+
+        assert traj_err(refined) < 0.6 * traj_err(odometry)
