@@ -726,9 +726,17 @@ def match_indexed(
     query_mask: jax.Array | None = None,
     *,
     interpret: bool = False,
+    impl: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Matching stage against a prebuilt index: 1-NN + squared threshold."""
-    if jax.default_backend() in ("tpu", "axon"):
+    """Matching stage against a prebuilt index: 1-NN + squared threshold.
+
+    ``impl`` forces a backend: ``"v2"`` (the production visited-list Pallas
+    kernel; pair with ``interpret=True`` off-TPU) or ``"xla"`` (portable
+    oracle). Default dispatches on the runtime backend.
+    """
+    if impl is None:
+        impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "v2":
         tile_t = index.points_t3.shape[2]
         idx, d2 = nn_search_pruned_v2(
             queries, index, max_distance, interpret=interpret, tile_t=tile_t

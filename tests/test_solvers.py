@@ -188,3 +188,80 @@ class TestLM:
             Metric.SYMMETRIC, src, tgt, sn, tn, w, valid
         )
         assert np.isfinite(np.asarray(est_sym)).all()
+
+
+class TestLMScipyParity:
+    """Quantitative LM evidence (SURVEY hard-part 3): solve_lm must land on
+    the same optimum as scipy.optimize.least_squares run on an f64 replica
+    of the exact residual stack (Ceres config: <=10 LM steps,
+    function_tolerance 1e-6, ICPOptimizer.h:352-360)."""
+
+    @staticmethod
+    def _numpy_residual_fn(metric, src, tgt, src_n, tgt_n, w, valid):
+        from scipy.spatial.transform import Rotation
+
+        mask = valid.astype(np.float64)
+        wp = (w * mask).astype(np.float64)
+
+        def fn(x):
+            R = Rotation.from_rotvec(x[:3]).as_matrix()
+            moved = src @ R.T + x[3:6]
+            diff = moved - tgt
+            parts = [(0.1 * wp)[:, None] * diff]
+            if metric == Metric.POINT_TO_PLANE:
+                parts.append((wp * (tgt_n * diff).sum(axis=1))[:, None])
+            elif metric == Metric.SYMMETRIC:
+                tgt_rot = tgt @ R  # R^-1 applied to rows
+                n_sum = src_n + tgt_n
+                parts.append((wp * (n_sum * (moved - tgt_rot)).sum(axis=1))[:, None])
+            return np.concatenate([p.reshape(-1) for p in parts])
+
+        return fn
+
+    @pytest.mark.parametrize(
+        "metric", [Metric.POINT_TO_POINT, Metric.POINT_TO_PLANE, Metric.SYMMETRIC]
+    )
+    def test_matches_scipy_least_squares(self, metric):
+        from scipy.optimize import least_squares
+
+        rng = np.random.default_rng(42)
+        src, tgt, src_n, tgt_n, w, valid, _ = make_problem(rng, angle=0.15)
+        # Perturb correspondences so the optimum is a genuine least-squares
+        # trade-off, not an exact rigid fit.
+        noise = rng.normal(0, 0.02, tgt.shape).astype(np.float32)
+        tgt = tgt + jnp.asarray(noise) * valid[:, None]
+
+        res = gauss_newton.solve_lm(
+            metric, src, tgt, src_n, tgt_n, w, valid, max_iterations=10
+        )
+        x_ours = np.asarray(jax.device_get(res.increment), np.float64)
+
+        fn = self._numpy_residual_fn(
+            metric,
+            *(np.asarray(a, np.float64) for a in (src, tgt, src_n, tgt_n)),
+            np.asarray(w, np.float64), np.asarray(valid),
+        )
+        sol = least_squares(fn, np.zeros(6), method="lm", xtol=1e-12, ftol=1e-12)
+        x_ref = sol.x
+        cost_ref = 0.5 * np.sum(fn(x_ref) ** 2)
+        cost_ours = 0.5 * np.sum(fn(x_ours) ** 2)
+
+        # Same basin, near-identical optimum: cost within 0.1%, increment
+        # within 2e-3 absolute on every dof.
+        assert cost_ours <= cost_ref * 1.001 + 1e-12
+        np.testing.assert_allclose(x_ours, x_ref, atol=2e-3)
+
+    def test_small_angle_matches_linear_solver(self):
+        """At small angles the LM point-to-plane optimum coincides with the
+        closed-form linearized solve on the same matches."""
+        rng = np.random.default_rng(7)
+        src, tgt, src_n, tgt_n, w, valid, _ = make_problem(rng, angle=0.01)
+        pose_lm = np.asarray(gauss_newton.estimate_pose_lm(
+            Metric.POINT_TO_PLANE, src, tgt, src_n, tgt_n, w, valid
+        ))
+        pose_lin = np.asarray(linear.estimate_pose_point_to_plane(
+            src, tgt, tgt_n, w, valid
+        ))
+        pts = np.asarray(src)[np.asarray(valid)]
+        err = pose_error(pose_lm, pose_lin, pts)
+        assert err < 5e-5
