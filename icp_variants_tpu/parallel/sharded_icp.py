@@ -10,37 +10,83 @@ Here the two natural axes distribute over a ``jax.sharding.Mesh``:
   devices, each device matches its query shard against the replicated
   target (so the k-NN Pallas kernel runs unchanged per shard), and the
   solvers' reductions — means, 3x3 cross-covariance, 6x6 normal equations,
-  JTJ/JTr per LM step — cross the axis via ``psum`` over ICI. Per-step
-  communication is a few hundred bytes per pair; compute splits N-ways.
+  JTJ/JTr per LM step, the RMSE/benchmark error sums — cross the axis via
+  ``psum`` over ICI. Per-step communication is a few hundred bytes per
+  pair; compute splits N-ways.
+
+Every device keeps the one-time Morton/bbox ``TargetIndex`` (the FLANN
+``buildIndex`` economy, NearestNeighbor.h:122-141) as a REPLICATED
+structure: the target is replicated over ``points`` anyway and the build is
+a single cheap pass, so each shard constructs it locally with zero
+communication and matching stays on the pruned kernel.
 
 Implemented with ``shard_map`` so the collective placement is explicit and
 the Pallas matching kernel composes (GSPMD cannot partition a pallas_call,
 and its gather-sharding inference rejects the masked gathers anyway).
+
+``run_icp_batch_sharded`` is the full driver: the complete multires scan of
+``pipeline/icp.py`` (one compiled executable per config) over both mesh
+axes — the distributed equivalent of the sequential ETH sweep loop
+(main.cpp:411).
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from icp_variants_tpu.core import cloud as cloud_lib
 from icp_variants_tpu.core.cloud import Cloud
+from icp_variants_tpu.ops import knn
 from icp_variants_tpu.pipeline import icp
-from icp_variants_tpu.pipeline.config import ICPConfig
+from icp_variants_tpu.pipeline.config import ICPConfig, Matching
 
 POINTS_AXIS = "points"
 PAIRS_AXIS = "pairs"
 
 
+def _build_index(cfg: ICPConfig, tgt_points, tgt_colors):
+    """The per-device replicated buildIndex step (None off the k-NN path)."""
+    if cfg.matching != Matching.KNN:
+        return None
+    if cfg.color_icp:
+        feats = knn.color_features(tgt_points, tgt_colors)
+    else:
+        feats = tgt_points
+    return knn.build_target_index(feats, tile_t=knn.V2_TILE_T)
+
+
+def pad_cloud_rows(cloud: Cloud, multiple: int) -> Cloud:
+    """Pad a (possibly batched) Cloud's point axis so it splits evenly into
+    ``multiple`` shards: sentinel points, NaN normals, invalid rows."""
+    cap = cloud.points.shape[-2]
+    pad = (-cap) % multiple
+    if pad == 0:
+        return cloud
+    width2 = [(0, 0)] * (cloud.points.ndim - 2) + [(0, pad), (0, 0)]
+    width1 = [(0, 0)] * (cloud.valid.ndim - 1) + [(0, pad)]
+    return Cloud(
+        points=jnp.pad(cloud.points, width2, constant_values=cloud_lib.PAD_SENTINEL),
+        normals=jnp.pad(cloud.normals, width2, constant_values=np.nan),
+        colors=jnp.pad(cloud.colors, width2),
+        valid=jnp.pad(cloud.valid, width1),
+    )
+
+
 def make_sharded_icp_step(cfg: ICPConfig, mesh):
-    """Build a jitted, mesh-sharded batched ICP training step.
+    """Build a jitted, mesh-sharded batched ICP training step (ONE
+    iteration; see :func:`run_icp_batch_sharded` for the full scan).
 
     Returns ``step(src..., tgt..., poses, keys) -> new_poses`` over a leading
     ``pairs`` batch axis. Source arrays shard ``P('pairs', 'points')``;
     target arrays shard ``P('pairs')`` (replicated over ``points``); poses
-    and keys shard ``P('pairs')``.
+    and keys shard ``P('pairs')``. k-NN matching goes through the pruned
+    ``TargetIndex`` kernel, built replicated per device.
     """
 
     def local_step(
@@ -55,9 +101,10 @@ def make_sharded_icp_step(cfg: ICPConfig, mesh):
         def one(sp, sn, sc, sv, tp, tn, tc, tv, pose, key):
             source = Cloud(points=sp, normals=sn, colors=sc, valid=sv)
             target = Cloud(points=tp, normals=tn, colors=tc, valid=tv)
+            index = _build_index(cfg, tp, tc)
             new_pose, _trace = icp._iteration(
                 cfg, source, target, pose, stride, key, gt, gt, gtv,
-                run_benchmark=False, axis_name=POINTS_AXIS,
+                run_benchmark=False, axis_name=POINTS_AXIS, target_index=index,
             )
             return new_pose
 
@@ -79,3 +126,181 @@ def make_sharded_icp_step(cfg: ICPConfig, mesh):
         out_specs=P(PAIRS_AXIS),
     )
     return jax.jit(sharded)
+
+
+def run_icp_batch_sharded(
+    cfg: ICPConfig,
+    sources: Cloud,          # leading batch axis on every leaf
+    targets: Cloud,
+    mesh,
+    init_poses=None,
+    *,
+    gt_source_points=None,   # (B, G, 3)
+    gt_target_points=None,   # (B, G, 3)
+    gt_valid=None,           # (B, G)
+    key=None,
+    run_benchmark: bool = False,
+    num_source_points: int | None = None,
+) -> icp.ICPResult:
+    """The FULL ICP driver (multires stride schedule, per-iteration trace,
+    benchmark error — everything ``run_icp_batch`` does) distributed over a
+    device mesh: scan pairs across ``pairs`` (if present), each pair's
+    source points across ``points`` (if present).
+
+    Results are bitwise-independent of the mesh layout up to float reduction
+    order: matching runs per query shard against the replicated pruned
+    index; solver and error reductions psum over ``points``.
+    """
+    has_pairs = PAIRS_AXIS in mesh.shape
+    has_points = POINTS_AXIS in mesh.shape
+    n_points_shards = mesh.shape.get(POINTS_AXIS, 1)
+    n_pairs_shards = mesh.shape.get(PAIRS_AXIS, 1)
+
+    b = sources.points.shape[0]
+    if b % n_pairs_shards != 0:
+        raise ValueError(
+            f"batch {b} does not divide over {n_pairs_shards} pair shards; "
+            "pad the batch (repeat a pair) to a multiple"
+        )
+    # Shard the point axis evenly; PAD_MULTIPLE tiles per shard keeps the
+    # Pallas kernel's query tiling legal on every device.
+    sources = pad_cloud_rows(sources, n_points_shards * cloud_lib.PAD_MULTIPLE)
+
+    if num_source_points is None:
+        num_source_points = int(sources.points.shape[1])
+    strides = jnp.asarray(cloud_lib.multires_stride_schedule(
+        num_source_points, cfg.n_iterations, cfg.multi_resolution,
+        cfg.multi_resolution_min_points,
+    ))
+
+    if init_poses is None:
+        init_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    init_poses = jnp.asarray(init_poses, jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, b)
+
+    if gt_source_points is None:
+        gt_src = jnp.zeros((b, n_points_shards, 3), jnp.float32)
+        gt_tgt = jnp.zeros((b, n_points_shards, 3), jnp.float32)
+        gtv = jnp.ones((b, n_points_shards), bool)
+    else:
+        gt_src = jnp.asarray(gt_source_points, jnp.float32)
+        gt_tgt = jnp.asarray(gt_target_points, jnp.float32)
+        gtv = (
+            jnp.asarray(gt_valid, bool)
+            if gt_valid is not None
+            else jnp.ones(gt_src.shape[:2], bool)
+        )
+        pad = (-gt_src.shape[1]) % n_points_shards
+        if pad:
+            gt_src = jnp.pad(gt_src, ((0, 0), (0, pad), (0, 0)))
+            gt_tgt = jnp.pad(gt_tgt, ((0, 0), (0, pad), (0, 0)))
+            gtv = jnp.pad(gtv, ((0, 0), (0, pad)))
+
+    spec_src, spec_tgt, spec_pair = _specs(has_pairs, has_points)
+    runner = _sharded_runner(cfg, mesh, run_benchmark)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return runner(
+        place(sources.points, spec_src), place(sources.normals, spec_src),
+        place(sources.colors, spec_src), place(sources.valid, spec_src),
+        place(targets.points, spec_tgt), place(targets.normals, spec_tgt),
+        place(targets.colors, spec_tgt), place(targets.valid, spec_tgt),
+        place(gt_src, spec_src), place(gt_tgt, spec_src), place(gtv, spec_src),
+        place(init_poses, spec_pair), place(keys, spec_pair),
+        strides,
+    )
+
+
+def _specs(has_pairs: bool, has_points: bool):
+    pair = PAIRS_AXIS if has_pairs else None
+    pts = POINTS_AXIS if has_points else None
+    return P(pair, pts), P(pair), P(pair)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool):
+    """Jitted full-scan runner for (cfg, mesh); cached so repeated sweeps
+    reuse one executable per shape set."""
+    has_pairs = PAIRS_AXIS in mesh.shape
+    has_points = POINTS_AXIS in mesh.shape
+    axis_name = POINTS_AXIS if has_points else None
+    spec_src, spec_tgt, spec_pair = _specs(has_pairs, has_points)
+
+    def local(
+        sp, sn, sc, sv, tp, tn, tc, tv,
+        gs, gt_, gv, poses0, keys, strides,
+    ):
+        n_iter = strides.shape[0]
+
+        def one(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, pose0, key):
+            source = Cloud(points=sp, normals=sn, colors=sc, valid=sv)
+            target = Cloud(points=tp, normals=tn, colors=tc, valid=tv)
+            index = _build_index(cfg, tp, tc)
+            ks = jax.random.split(key, n_iter)
+
+            def body(pose, per):
+                stride, k = per
+                return icp._iteration(
+                    cfg, source, target, pose, stride, k, gs, gt_, gv,
+                    run_benchmark, axis_name=axis_name, target_index=index,
+                )
+
+            final, trace = jax.lax.scan(body, pose0, (strides, ks))
+            return icp.ICPResult(pose=final, trace=trace)
+
+        return jax.vmap(
+            one,
+            in_axes=(0,) * 13,
+        )(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, poses0, keys)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            spec_src, spec_src, spec_src, spec_src,
+            spec_tgt, spec_tgt, spec_tgt, spec_tgt,
+            spec_src, spec_src, spec_src,
+            spec_pair, spec_pair,
+            P(),
+        ),
+        out_specs=icp.ICPResult(
+            pose=spec_pair,
+            trace=icp.ICPTrace(
+                rmse=spec_pair, benchmark=spec_pair, num_matches=spec_pair
+            ),
+        ),
+    )
+    return jax.jit(sharded)
+
+
+def run_icp_sharded(
+    cfg: ICPConfig,
+    source: Cloud,
+    target: Cloud,
+    mesh,
+    init_pose=None,
+    **kwargs,
+) -> icp.ICPResult:
+    """Single-pair full sharded run: :func:`run_icp_batch_sharded` with a
+    batch of one (points-axis tensor parallelism only makes sense here)."""
+    batch_src = jax.tree.map(lambda x: x[None], source)
+    batch_tgt = jax.tree.map(lambda x: x[None], target)
+    for k in ("gt_source_points", "gt_target_points", "gt_valid"):
+        if kwargs.get(k) is not None:
+            kwargs[k] = jnp.asarray(kwargs[k])[None]
+    init_poses = None if init_pose is None else jnp.asarray(init_pose)[None]
+    res = run_icp_batch_sharded(
+        cfg, batch_src, batch_tgt, mesh, init_poses, **kwargs
+    )
+    return icp.ICPResult(
+        pose=res.pose[0],
+        trace=icp.ICPTrace(
+            rmse=res.trace.rmse[0],
+            benchmark=res.trace.benchmark[0],
+            num_matches=res.trace.num_matches[0],
+        ),
+    )

@@ -241,9 +241,15 @@ def _iteration(
     new_pose = increment @ pose
 
     # --- instrumentation (ICPOptimizer.h:315-317) ---------------------------
-    rmse = measure.rmse_alignment_error(new_pose, gt_src, gt_tgt, gt_valid)
+    # With the point axis sharded, gt rows shard alongside and the error
+    # reductions psum, so every shard reports the GLOBAL metric.
+    rmse = measure.rmse_alignment_error(
+        new_pose, gt_src, gt_tgt, gt_valid, axis_name=axis_name
+    )
     if run_benchmark:
-        bench = measure.benchmark_error(new_pose, gt_src, gt_tgt, gt_valid)
+        bench = measure.benchmark_error(
+            new_pose, gt_src, gt_tgt, gt_valid, axis_name=axis_name
+        )
     else:
         bench = jnp.asarray(0.0, jnp.float32)
 

@@ -101,3 +101,96 @@ def test_pair_axis_only_mesh():
     )
     assert out.shape == (4, 4, 4)
     assert np.isfinite(out).all()
+
+
+class TestFullShardedRun:
+    """run_icp_batch_sharded: the COMPLETE multires scan distributed over the
+    mesh must reproduce single-device run_icp_batch (VERDICT r1 item 2)."""
+
+    def _clouds(self, n_pairs, cap, seed=0):
+        arrays = _batch(n_pairs, cap, seed=seed)
+        sources = Cloud(
+            points=jnp.asarray(arrays[0]), normals=jnp.asarray(arrays[1]),
+            colors=jnp.asarray(arrays[2]), valid=jnp.asarray(arrays[3]),
+        )
+        targets = Cloud(
+            points=jnp.asarray(arrays[4]), normals=jnp.asarray(arrays[5]),
+            colors=jnp.asarray(arrays[6]), valid=jnp.asarray(arrays[7]),
+        )
+        return sources, targets
+
+    def test_matches_single_device_full_scan(self, mesh):
+        """SELECT_ALL + multires + benchmark: deterministic parity across the
+        (pairs=2, points=4) mesh for pose AND all three trace metrics over
+        the full schedule (>= 5 iterations)."""
+        cfg = ICPConfig(
+            metric=Metric.SYMMETRIC, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=6, multi_resolution=True,
+        )
+        n_pairs, cap = 2, 2048  # cap % (4 shards * 256) == 0
+        sources, targets = self._clouds(n_pairs, cap)
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0), run_benchmark=True,
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0), run_benchmark=True,
+        )
+        assert res_sh.trace.rmse.shape[1] >= 5
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.trace.rmse), np.asarray(res_ref.trace.rmse),
+            rtol=1e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.trace.benchmark), np.asarray(res_ref.trace.benchmark),
+            rtol=1e-3, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.trace.num_matches), np.asarray(res_ref.trace.num_matches),
+        )
+
+    def test_random_fast_sharded_converges(self):
+        """Points-only mesh with stratified random selection: per-shard PRNG
+        streams differ from single-device, so assert convergence instead of
+        bitwise parity."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = jax.make_mesh((8,), ("points",))
+        from icp_variants_tpu.pipeline.config import Selection
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8,
+            selection=Selection.RANDOM_FAST, selection_proba=0.5,
+        )
+        sources, targets = self._clouds(1, 2048, seed=2)
+        source = jax.tree.map(lambda x: x[0], sources)
+        target = jax.tree.map(lambda x: x[0], targets)
+        res = sharded_icp.run_icp_sharded(
+            cfg, source, target, mesh,
+            gt_source_points=np.asarray(source.points),
+            gt_target_points=np.asarray(target.points),
+            gt_valid=np.asarray(source.valid),
+            key=jax.random.PRNGKey(3),
+        )
+        rmse = np.asarray(res.trace.rmse)
+        assert np.isfinite(np.asarray(res.pose)).all()
+        assert rmse[-1] < rmse[0] * 0.5
+
+    def test_runner_cache_reused(self, mesh):
+        cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
+                        n_iterations=2)
+        r1 = sharded_icp._sharded_runner(cfg, mesh, False)
+        r2 = sharded_icp._sharded_runner(cfg, mesh, False)
+        assert r1 is r2
