@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     b.add_argument("--metric", type=int, default=0, help="0 point 1 plane 2 symmetric")
     b.add_argument("--linear", action="store_true")
     b.add_argument("--artifacts-dir")
+    b.add_argument(
+        "--profile", action="store_true",
+        help="print the fused per-stage TimeMeasure + kernel efficiency",
+    )
 
     r = sub.add_parser("room", help="TUM RGB-D frame-to-frame-0 tracking")
     r.add_argument("dataset_dir")
@@ -67,6 +71,12 @@ def main(argv=None) -> int:
         for i, v in enumerate(res.rmse_per_iteration):
             print(f"  {i:02d}  {v:.6f}")
         print("final RMSE:", res.final_rmse)
+        if args.profile:
+            from icp_variants_tpu.data.loaders import BunnyDataLoader
+            from icp_variants_tpu.pipeline import profiling
+
+            sample = BunnyDataLoader().get_item(0)
+            print(profiling.fused_report(cfg, sample.source, sample.target))
         return 0
 
     if args.cmd == "room":

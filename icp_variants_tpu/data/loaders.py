@@ -151,11 +151,20 @@ class ETHDataLoader(DataLoader):
             from icp_variants_tpu.ops import normals as normals_ops
 
             finite = np.isfinite(pts).all(axis=1)
-            normals = np.asarray(
-                normals_ops.estimate_normals_knn(
-                    jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
+            if len(pts) >= 20_000:
+                # ETH-scale clouds: Morton-banded exact k-NN (tens of ms)
+                # instead of the dense N^2 sweep (~4.5 s at 365k points).
+                normals = np.asarray(
+                    normals_ops.estimate_normals_knn_fast(
+                        pts, finite, k=self.normal_k
+                    )
                 )
-            )
+            else:
+                normals = np.asarray(
+                    normals_ops.estimate_normals_knn(
+                        jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
+                    )
+                )
         return cloud_lib.from_numpy(
             pts, normals=normals, capacity=self.capacity, morton_order=True
         )

@@ -217,7 +217,13 @@ def nn_search_pallas(
 
 class TargetIndex(NamedTuple):
     """Prebuilt search structure over a target cloud (the ``buildIndex``
-    phase, NearestNeighbor.h:122-141)."""
+    phase, NearestNeighbor.h:122-141).
+
+    ``points_t3`` pages carry ``0.5*|t|^2`` in feature row ``FEATURE_PAD-1``
+    (unused by the production direct-difference kernel; kept so
+    matmul-style variants can emit ``q.t - 0.5|t|^2`` directly by setting
+    the query's last feature to ``-1``). Bboxes are computed over the
+    UNaugmented features."""
 
     points: jax.Array     # (Nt_pad, 8) Morton-sorted, feature-padded
     points_t3: jax.Array  # (n_tiles, 8, tile_t) tile-major transposed pages
@@ -301,9 +307,15 @@ def build_target_index(targets: jax.Array, *, tile_t: int = INDEX_TILE_T) -> Tar
     t = _pad_rows(_pad_features(targets), tile_t, 1.0e6)
     n_tiles = t.shape[0] // tile_t
     tiles = t.reshape(n_tiles, tile_t, FEATURE_PAD)
+    # Augmented pages: last feature row = 0.5|t|^2 over the REAL features
+    # (see TargetIndex docstring). Sentinel rows get a huge value — their
+    # scores go enormously negative, so they can never win the argmax.
+    half_norm2 = 0.5 * jnp.sum(t[:, :-1] * t[:, :-1], axis=1)
+    t_aug = t.at[:, FEATURE_PAD - 1].set(half_norm2)
+    tiles_aug = t_aug.reshape(n_tiles, tile_t, FEATURE_PAD)
     return TargetIndex(
         points=t,
-        points_t3=tiles.transpose(0, 2, 1),
+        points_t3=tiles_aug.transpose(0, 2, 1),
         perm=jnp.arange(t.shape[0], dtype=jnp.int32),
         bbox_min=jnp.min(tiles, axis=1),
         bbox_max=jnp.max(tiles, axis=1),
@@ -444,24 +456,49 @@ def nn_search_pruned(
 V2_TILE_T = 512
 
 
-def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
+def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
     """Each inner step streams CHUNK visited tiles (one DMA per tile, one
-    wait + one fat matmul for the whole chunk) — amortizes DMA latency and
-    keeps the MXU fed. Visit lists are padded with tile 0 to a chunk
-    multiple; redundant tiles are harmless (running-min is idempotent)."""
+    wait + one fused distance+argmin sweep for the whole chunk). Visit
+    lists are padded with tile 0 to a chunk multiple; redundant tiles are
+    harmless (running-min is idempotent).
+
+    Distances are DIRECT coordinate differences on the VPU, not the
+    expanded ``|q|^2+|t|^2-2q.t`` matmul: at K=3..6 the MXU pads the
+    contraction to its native depth and HIGHEST precision multiplies the
+    passes — measured 7.5 ms vs 4.3 ms per bench iteration — and the
+    expanded form loses ~|q|^2*eps to cancellation (3/4736 flipped winners
+    at 20 m scene scale) while direct differences are exact at full f32.
+
+    The lists arrive sorted ascending by bbox lower bound, alongside the
+    SUFFIX-MIN of those bounds, and split into two phases:
+
+    * Phase 1 — the first ``count0`` chunks (lower bound in the innermost
+      sqrt-bin, i.e. tiles overlapping the query bbox). These can never be
+      pruned, so they run UNCONDITIONALLY with double-buffered DMA and zero
+      scalar-vector syncs (a per-chunk ``max(dist)`` read would stall the
+      scalar core's DMA issue behind the VPU — measured as costing more
+      than the pruning saved).
+    * One bound read — after phase 1 every query has seen the tiles nearest
+      it, so ``wb = max(dist)`` is already near its final value.
+    * Phase 2 — remaining chunks gated on ``suffix_lb <= wb`` with the
+      FROZEN wb: a pure-scalar test (free-running DMA issue), exact because
+      frozen-wb >= true running wb (conservative superset), and trivially
+      consistent between a chunk's DMA start and wait (same deterministic
+      predicate), so double buffering needs no flag bookkeeping."""
 
     def kernel(
         count_ref,        # scalar prefetch: (nq_tiles,) int32, chunk counts
+        count0_ref,       # scalar prefetch: (nq_tiles,) int32, phase-1 chunks
         bound_ref,        # scalar prefetch: (1,) f32
-        vlist_ref,        # (nq_tiles, 8, max_v) int32 in HBM
-        lblist_ref,       # (nq_tiles, 8, max_v) f32 in HBM
+        vlist_ref,        # (nq_tiles, 8, max_v) int32 in HBM, lb-ascending
+        suflb_ref,        # (nq_tiles, 8, max_v) f32 in HBM: SUFFIX-MIN of lb
         t_ref,            # (n_tiles, 8, tile_t) in HBM
         q_ref,            # (tile_q, 8) VMEM block
-        qn2_ref,          # (tile_q, 1) VMEM block
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
         vrow_ref,         # SMEM scratch (8, max_v)
         lbrow_ref,        # SMEM scratch (8, max_v)
+        wb_ref,           # SMEM scratch (1,) f32: frozen phase-2 bound
         tbuf_ref,         # VMEM scratch (2, 8, chunk*tile_t)
         copy_sems,        # DMA semaphores (2, chunk)
         row_sem,
@@ -469,14 +506,15 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
     ):
         i = pl.program_id(0)
         n_chunks = count_ref[i]
+        n_phase1 = count0_ref[i]
         bound = bound_ref[0]
 
-        # Fetch this query tile's visited-tile ids + lower bounds into SMEM.
+        # Fetch this query tile's visited-tile ids + suffix bounds into SMEM.
         # Lists are stored 8-row-replicated so the HBM slices satisfy
         # Mosaic's (8, 128) tiling; only row 0 is read.
         row_dma = pltpu.make_async_copy(vlist_ref.at[i], vrow_ref, row_sem)
         row_dma.start()
-        lb_dma = pltpu.make_async_copy(lblist_ref.at[i], lbrow_ref, lb_sem)
+        lb_dma = pltpu.make_async_copy(suflb_ref.at[i], lbrow_ref, lb_sem)
         lb_dma.start()
 
         dist_ref[:] = jnp.full_like(dist_ref, bound)
@@ -503,68 +541,98 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int):
             for j in range(chunk):
                 tile_dma(slot, k, j).wait()
 
-        @pl.when(n_chunks > 0)
+        def _compute(slot, k):
+            t = tbuf_ref[slot]                      # (8, chunk*tile_t)
+            d2 = (q_ref[:, 0:1] - t[0:1, :]) ** 2
+            for c in range(1, n_features):
+                d2 = d2 + (q_ref[:, c:c + 1] - t[c:c + 1, :]) ** 2
+            local_min = jnp.min(d2, axis=1, keepdims=True)
+            gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)  # in [0, chunk*tile_t)
+            sub = jax.lax.rem(gpos, tile_t)
+            seg = gpos // tile_t                     # which chunk member won
+            base = jnp.full_like(gpos, vrow_ref[0, k * chunk])
+            for j in range(1, chunk):
+                base = jnp.where(
+                    seg == j, vrow_ref[0, k * chunk + j], base
+                )
+            local_arg = (base * tile_t + sub).reshape(-1, 1)
+            better = local_min < dist_ref[:]
+            idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+            dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+
+        # --- phase 1: unconditional, double-buffered, sync-free ------------
+        @pl.when(n_phase1 > 0)
         def _():
             start_chunk(0, 0)
 
-            def body(k, _):
+            def body1(k, _):
                 slot = jax.lax.rem(k, 2)
                 next_slot = jax.lax.rem(k + 1, 2)
 
-                @pl.when(k + 1 < n_chunks)
+                @pl.when(k + 1 < n_phase1)
                 def _():
                     start_chunk(next_slot, k + 1)
 
                 wait_chunk(slot, k)
+                _compute(slot, k)
+                return 0
 
-                # Running-best prune (exact): if this chunk's best possible
-                # distance exceeds the WORST current best across the query
-                # tile, no row can improve — skip the compute (the DMA
-                # already ran; compute dominates).
-                chunk_lb = lbrow_ref[0, k * chunk]
-                for j in range(1, chunk):
-                    chunk_lb = jnp.minimum(chunk_lb, lbrow_ref[0, k * chunk + j])
-                worst_best = jnp.max(dist_ref[:])
+            jax.lax.fori_loop(0, n_phase1, body1, 0)
 
-                @pl.when(chunk_lb <= worst_best)
+        # --- one bound read, then the frozen-bound tail --------------------
+        @pl.when(n_phase1 < n_chunks)
+        def _():
+            wb_ref[0] = jnp.max(dist_ref[:])
+
+            def active(k):
+                return lbrow_ref[0, k * chunk] <= wb_ref[0]
+
+            @pl.when(active(n_phase1))
+            def _():
+                start_chunk(0, n_phase1)
+
+            def body2(k, _):
+                slot = jax.lax.rem(k - n_phase1, 2)
+                next_slot = jax.lax.rem(k - n_phase1 + 1, 2)
+
+                @pl.when((k + 1 < n_chunks) & active(k + 1))
                 def _():
+                    start_chunk(next_slot, k + 1)
+
+                @pl.when(active(k))
+                def _():
+                    wait_chunk(slot, k)
                     _compute(slot, k)
                 return 0
 
-            def _compute(slot, k):
-                t = tbuf_ref[slot]                      # (8, chunk*tile_t)
-                g = jax.lax.dot_general(
-                    q_ref[:], t,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                tn2 = jnp.sum(t * t, axis=0).reshape(1, -1)
-                d2 = qn2_ref[:] + tn2 - 2.0 * g          # (tile_q, chunk*tile_t)
-                local_min = jnp.min(d2, axis=1, keepdims=True)
-                gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)  # in [0, chunk*tile_t)
-                sub = jax.lax.rem(gpos, tile_t)
-                seg = gpos // tile_t                     # which chunk member won
-                base = jnp.full_like(gpos, vrow_ref[0, k * chunk])
-                for j in range(1, chunk):
-                    base = jnp.where(
-                        seg == j, vrow_ref[0, k * chunk + j], base
-                    )
-                local_arg = (base * tile_t + sub).reshape(-1, 1)
-                better = local_min < dist_ref[:]
-                idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
-                dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
-
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+            jax.lax.fori_loop(n_phase1, n_chunks, body2, 0)
 
     return kernel
 
 
+# Padding value for suffix-min lists: larger than any real squared bound but
+# finite in f32. Plain float — a module-level jnp constant would initialize
+# the XLA backend at import, breaking jax.distributed.initialize ordering.
+_LB_PAD = 1.0e30
+
+
 def _visit_lists(
     qmin, qmax, bbox_min, bbox_max, bound_val
-) -> tuple[jax.Array, jax.Array]:
-    """Per-query-tile visited target-tile ids (ascending, zero-padded) and
-    counts, from bbox-vs-bbox lower bounds. Sort-free (cumsum + scatter)."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-query-tile visited target-tile ids sorted ascending by bbox lower
+    bound, the SUFFIX-MIN of those bounds, and visit counts.
+
+    Sorting uses an 8-bin counting sort on a sqrt scale (device argsort
+    compiles pathologically here, and the onehot cost scales linearly with
+    the bin count — 1.9 ms/iter at 64 bins vs 0.2 at 8; sqrt concentrates
+    resolution near zero, where the running-best bound lives once each
+    query has found a candidate). Order only decides how early the prune
+    bites;
+    the SUFFIX-MIN is built from the exact lb values, so the kernel's
+    "stop when suffix > worst-best" rule is exact under ANY ordering.
+    Padding slots carry suffix 1e30 (never started) and tile id 0 (a valid
+    DMA target if a started chunk straddles the count boundary).
+    """
     gap = jnp.maximum(
         jnp.maximum(
             qmin[:, None, :] - bbox_max[None, :, :],
@@ -576,16 +644,9 @@ def _visit_lists(
     visited = lb <= bound_val
     nqt, ntt = visited.shape
 
-    # Order each row's visited tiles by lower-bound OCTAVE (8-bin counting
-    # sort — device argsort compiles pathologically here): nearest tiles
-    # come first, so the kernel's running-best prune collapses the bound
-    # after the first chunks and skips most of the rest. Order is irrelevant
-    # to correctness (running min); it only decides how early pruning bites.
     nbins = 8
-    binid = jnp.clip(
-        (lb * (nbins / jnp.maximum(bound_val, 1e-30))).astype(jnp.int32),
-        0, nbins - 1,
-    )
+    scale = jnp.sqrt(jnp.maximum(lb, 0.0) / jnp.maximum(bound_val, 1e-30))
+    binid = jnp.clip((scale * nbins).astype(jnp.int32), 0, nbins - 1)
     onehot = (
         (binid[..., None] == jnp.arange(nbins)[None, None, :]) & visited[..., None]
     ).astype(jnp.int32)                            # (nqt, ntt, nbins)
@@ -603,15 +664,17 @@ def _visit_lists(
     vlist = vlist.at[rows.reshape(-1), slot.reshape(-1)].set(
         cols.reshape(-1).astype(jnp.int32), mode="drop"
     )
-    # Per-slot lower bounds, aligned with vlist (padding slots stay 0.0, so
-    # they are never skipped by the in-kernel running-best prune — merely
-    # redundant, never wrong).
-    lblist = jnp.zeros((nqt, ntt), jnp.float32)
+    lblist = jnp.full((nqt, ntt), _LB_PAD, jnp.float32)
     lblist = lblist.at[rows.reshape(-1), slot.reshape(-1)].set(
         lb.reshape(-1), mode="drop"
     )
     counts = jnp.sum(visited, axis=1).astype(jnp.int32)
-    return vlist, lblist, counts
+    # Bin-0 tiles (lower bound within the innermost sqrt bin — in particular
+    # every tile overlapping the query bbox) form the list prefix: the
+    # kernel's unconditional phase 1.
+    counts0 = jnp.sum(visited & (binid == 0), axis=1).astype(jnp.int32)
+    suffix = jax.lax.cummin(lblist, axis=1, reverse=True)
+    return vlist, suffix, counts, counts0
 
 
 @functools.partial(
@@ -630,37 +693,39 @@ def nn_search_pruned_v2(
     """Visited-list exact 1-NN. Same contract as :func:`nn_search_pruned`;
     build the index with ``build_target_index(..., tile_t=V2_TILE_T)``."""
     nq = queries.shape[0]
+    n_features = queries.shape[1]
     q = _pad_rows(_pad_features(queries), tile_q, 0.0)
-    qn2 = jnp.sum(q * q, axis=1, keepdims=True)
 
     n_tiles = index.points.shape[0] // tile_t
     nq_tiles = q.shape[0] // tile_q
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
     qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
-    vlist, lblist, counts = _visit_lists(
+    vlist, suffix, counts, counts0 = _visit_lists(
         jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
         index.bbox_min, index.bbox_max, bound_val,
     )
     max_v = ((n_tiles + 127) // 128) * 128
     vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
-    lblist = jnp.pad(lblist, ((0, 0), (0, max_v - n_tiles)))
+    lblist = jnp.pad(
+        suffix, ((0, 0), (0, max_v - n_tiles)), constant_values=_LB_PAD
+    )
     # 8-row replication for tiling-legal (1-row worth of) HBM slices.
     vlist = jnp.broadcast_to(vlist[:, None, :], (nq_tiles, 8, max_v))
     lblist = jnp.broadcast_to(lblist[:, None, :], (nq_tiles, 8, max_v))
     # Chunked inner loop: counts in whole chunks; list slots past the true
     # count hold tile 0 (valid), so over-read chunks are merely redundant.
     counts = (counts + (chunk - 1)) // chunk
+    counts0 = (counts0 + (chunk - 1)) // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nq_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # vlist (DMA'd per q-tile)
             pl.BlockSpec(memory_space=pltpu.HBM),   # lblist (DMA'd per q-tile)
             pl.BlockSpec(memory_space=pltpu.HBM),   # target points (DMA'd per visited tile)
             pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -669,6 +734,7 @@ def nn_search_pruned_v2(
         scratch_shapes=[
             pltpu.SMEM((8, max_v), jnp.int32),
             pltpu.SMEM((8, max_v), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
             pltpu.VMEM((2, FEATURE_PAD, chunk * tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA(()),
@@ -676,7 +742,7 @@ def nn_search_pruned_v2(
         ],
     )
     dist, idx = pl.pallas_call(
-        _make_visited_kernel(tile_t, max_v, chunk),
+        _make_visited_kernel(tile_t, max_v, chunk, n_features),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
@@ -688,12 +754,12 @@ def nn_search_pruned_v2(
         interpret=interpret,
     )(
         counts,
+        counts0,
         jnp.asarray([bound_val], jnp.float32),
         vlist,
         lblist,
         index.points_t3,
         q,
-        qn2,
     )
 
     sorted_idx = idx[:nq, 0]

@@ -112,6 +112,160 @@ def smallest_eigenvector_sym3(A: jax.Array) -> jax.Array:
     return jnp.where(vn > 1e-20, v / jnp.maximum(vn, 1e-30), fallback)
 
 
+def _covariance_normals(points, valid, idx, k, viewpoint):
+    """Normals from k-NN indices: neighbor covariance -> smallest
+    eigenvector -> viewpoint flip (shared by the dense and fast paths)."""
+    neigh = points[idx]                                 # (N, k, 3)
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    centered = neigh - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    n = smallest_eigenvector_sym3(cov)
+    flip = jnp.sum(n * (viewpoint - points), axis=-1) < 0
+    n = jnp.where(flip[:, None], -n, n)
+    return jnp.where(valid[:, None], n, jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def _self_knn_band_ub(points: jax.Array, k: int, tile: int) -> jax.Array:
+    """Per-row upper bound on the k-th neighbor distance: exact top-k within
+    each row's own +-1 Morton tile (every row's true k-NN distance is <=
+    this, since the own-tile candidates are a subset of the full cloud)."""
+    n = points.shape[0]
+    n_tiles = n // tile
+    tiles = points.reshape(n_tiles, tile, 3)
+    prev_t = jnp.concatenate([tiles[:1], tiles[:-1]], axis=0)
+    next_t = jnp.concatenate([tiles[1:], tiles[-1:]], axis=0)
+    cand = jnp.concatenate([prev_t, tiles, next_t], axis=1)   # (nt, 3*tile, 3)
+
+    def one(qt, ct):
+        d2 = jnp.sum((qt[:, None, :] - ct[None, :, :]) ** 2, axis=-1)
+        # k-th smallest via k iterative min+mask passes (k is tiny); the
+        # mask is an elementwise where (TPU scatters serialize).
+        lanes = jnp.arange(d2.shape[1])[None, :]
+        ub = jnp.zeros((tile,), points.dtype)
+        for _ in range(k):
+            m = jnp.min(d2, axis=1)
+            am = jnp.argmin(d2, axis=1)
+            d2 = jnp.where(lanes == am[:, None], jnp.inf, d2)
+            ub = m
+        return ub
+
+    return jax.lax.map(lambda args: one(*args), (tiles, cand)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "cand_tiles"))
+def _self_knn_gather_topk(
+    points: jax.Array, vlist: jax.Array, k: int, tile: int, cand_tiles: int
+):
+    """Exact k-NN indices given per-query-tile candidate tile lists (the
+    first ``cand_tiles`` entries cover every tile within the per-tile bound;
+    extra slots repeat tile 0, harmlessly redundant)."""
+    n = points.shape[0]
+    n_tiles = n // tile
+    tiles = points.reshape(n_tiles, tile, 3)
+
+    def one(qt, tids):
+        ct = tiles[tids].reshape(-1, 3)                 # (cand_tiles*tile, 3)
+        d2 = jnp.sum((qt[:, None, :] - ct[None, :, :]) ** 2, axis=-1)
+        cols = tids[:, None] * tile + jnp.arange(tile)[None, :]
+        cols = cols.reshape(-1)
+        lanes = jnp.arange(d2.shape[1])[None, :]
+        idxs = []
+        for _ in range(k):
+            am = jnp.argmin(d2, axis=1)
+            idxs.append(cols[am])
+            d2 = jnp.where(lanes == am[:, None], jnp.inf, d2)
+        return jnp.stack(idxs, axis=1)                  # (tile, k)
+
+    qtiles = points.reshape(n_tiles, tile, 3)
+    return jax.lax.map(
+        lambda args: one(*args), (qtiles, vlist[:, :cand_tiles])
+    ).reshape(-1, k)
+
+
+def estimate_normals_knn_fast(
+    points,
+    valid,
+    k: int = 5,
+    viewpoint: jax.Array | None = None,
+    tile: int = 256,
+):
+    """Fast EXACT k-NN normal estimation for large clouds (the PCL
+    kSearch=5 replacement at ETH scale, PointCloud.h:41-76).
+
+    Strategy: Morton-order the cloud on the host, bound each row's k-th
+    neighbor distance by an own-tile top-k (candidates are a subset of the
+    cloud, so the bound is a true upper bound), build bbox visit lists from
+    the per-tile max bound, then run exact top-k over each tile's candidate
+    set — typically 3-8 Morton tiles instead of the whole cloud, turning
+    the 365k-point dense sweep (~4.5 s) into a few tens of ms. One host
+    sync picks the candidate capacity, so this is a LOAD-TIME path (eager),
+    not for inside jit.
+    """
+    import numpy as np
+
+    from icp_variants_tpu.ops.knn import _visit_lists, morton_codes_np
+
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), jnp.float32)
+    pts_np = np.asarray(points, np.float32)
+    valid_np = np.asarray(valid, bool) & np.isfinite(pts_np).all(axis=1)
+    n = len(pts_np)
+    # Invalid / non-finite rows become far-away finite sentinels so they
+    # can never poison a neighborhood (their own normals are NaN-masked).
+    pts_np = np.where(valid_np[:, None], pts_np, 2.0e6).astype(np.float32)
+    order = np.argsort(morton_codes_np(pts_np, valid_np), kind="stable")
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(n)
+    # Pad to a tile multiple with far-away sentinel rows (never in a top-k).
+    pad = (-n) % tile
+    sorted_pts = np.concatenate(
+        [pts_np[order], np.full((pad, 3), 2.0e6, np.float32)]
+    )
+    sp = jnp.asarray(sorted_pts)
+
+    ub = _self_knn_band_ub(sp, k, tile)                 # (n_pad,)
+    n_tiles = sp.shape[0] // tile
+    tiles = sp.reshape(n_tiles, tile, 3)
+    bound = jnp.max(ub.reshape(n_tiles, tile), axis=1)  # per-tile bound
+    from icp_variants_tpu.ops import knn as knn_lib
+
+    qmin = jnp.min(knn_lib._pad_features(sp).reshape(n_tiles, tile, -1), axis=1)
+    qmax = jnp.max(knn_lib._pad_features(sp).reshape(n_tiles, tile, -1), axis=1)
+    bmin = jnp.min(knn_lib._pad_features(tiles.reshape(-1, 3)).reshape(n_tiles, tile, -1), axis=1)
+    bmax = jnp.max(knn_lib._pad_features(tiles.reshape(-1, 3)).reshape(n_tiles, tile, -1), axis=1)
+    # Per-tile bounds: inflate each query-tile bbox by its own bound via the
+    # shared _visit_lists helper (which takes one scalar bound), so instead
+    # compute lists directly here with the per-row bound vector.
+    gap = jnp.maximum(
+        jnp.maximum(qmin[:, None, :] - bmax[None, :, :],
+                    bmin[None, :, :] - qmax[:, None, :]),
+        0.0,
+    )
+    lb = jnp.sum(gap * gap, axis=-1)                    # (nt, nt)
+    visited = lb <= bound[:, None] * (1.0 + 1e-6)
+    counts = jnp.sum(visited, axis=1)
+    # Compact tile ids per row (ascending), capacity picked with ONE sync.
+    cand_tiles = int(jax.device_get(jnp.max(counts)))
+    cand_tiles = max(((cand_tiles + 3) // 4) * 4, 4)
+    nt_ids = jnp.arange(n_tiles)
+    slot = jnp.where(visited, jnp.cumsum(visited, axis=1) - 1, n_tiles)
+    vlist = jnp.zeros((n_tiles, n_tiles), jnp.int32)
+    rows = jnp.broadcast_to(nt_ids[:, None], (n_tiles, n_tiles))
+    vlist = vlist.at[rows.reshape(-1), slot.reshape(-1)].set(
+        jnp.broadcast_to(nt_ids[None, :], (n_tiles, n_tiles))
+        .reshape(-1).astype(jnp.int32),
+        mode="drop",
+    )
+
+    idx_sorted = _self_knn_gather_topk(sp, vlist, k, tile, cand_tiles)
+    normals_sorted = _covariance_normals(
+        sp, jnp.asarray(np.concatenate([valid_np[order], np.zeros(pad, bool)])),
+        idx_sorted, k, viewpoint,
+    )
+    return jnp.asarray(np.asarray(jax.device_get(normals_sorted))[:n][inv_order])
+
+
 def estimate_normals_knn(
     points: jax.Array,
     valid: jax.Array,
@@ -128,11 +282,4 @@ def estimate_normals_knn(
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), points.dtype)
     idx, _ = knn_lib.knn_k(points, points, k)          # (N, k)
-    neigh = points[idx]                                 # (N, k, 3)
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
-    centered = neigh - mean
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
-    n = smallest_eigenvector_sym3(cov)
-    flip = jnp.sum(n * (viewpoint - points), axis=-1) < 0
-    n = jnp.where(flip[:, None], -n, n)
-    return jnp.where(valid[:, None], n, jnp.nan)
+    return _covariance_normals(points, valid, idx, k, viewpoint)

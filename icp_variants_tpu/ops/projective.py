@@ -7,9 +7,11 @@ point within a ``(2W+1)^2`` pixel window wins (W = 12 by default,
 NearestNeighbor.h:319), under the squared max-distance threshold.
 
 Instead of the reference's per-point OpenMP scan, the window walk is a
-``lax.fori_loop`` over the (2W+1)^2 static offsets with a vectorized gather
-per offset — every lane handles one source point, so the whole stage is one
-fused VPU program. The target cloud must be image-shaped (width*height rows,
+``lax.fori_loop`` over BATCHES of the (2W+1)^2 static offsets: each step
+gathers ``offset_chunk`` whole window rows for every query at once (one
+(N, offset_chunk) gather + a lane-wise min), so the loop runs 2W+1 times
+rather than (2W+1)^2 — per-step gather/dispatch overhead amortizes across
+the window row. The target cloud must be image-shaped (width*height rows,
 invalid pixels masked), the reference's ``keepOriginalSize`` contract
 (NearestNeighbor.h:346-349).
 """
@@ -48,32 +50,32 @@ def projective_match(
     v0 = jnp.round(y * fy / safe_z + cy).astype(jnp.int32)
 
     big = jnp.asarray(3.0e13, jnp.float32)
-    offsets = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-window, window + 1),
-            jnp.arange(-window, window + 1),
-            indexing="ij",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)  # ((2W+1)^2, 2) of (dv, du)
+    span = 2 * window + 1
+    dus = jnp.arange(-window, window + 1)  # one window ROW per loop step
 
     def body(k, carry):
         best_d2, best_idx = carry
-        dv = offsets[k, 0]
-        du = offsets[k, 1]
+        dv = k - window
         v = v0 + dv
-        u = u0 + du
-        in_image = (u >= 0) & (u < width) & (v >= 0) & (v < height)
-        lin = jnp.clip(v * width + u, 0, width * height - 1)
-        tp = target_points[lin]
+        u = u0[:, None] + dus[None, :]                      # (N, 2W+1)
+        in_image = (u >= 0) & (u < width) & ((v >= 0) & (v < height))[:, None]
+        lin = jnp.clip(v[:, None] * width + u, 0, width * height - 1)
+        tp = target_points[lin]                             # (N, 2W+1, 3)
         ok = in_image & target_valid[lin]
-        d2 = jnp.sum((query_points - tp) ** 2, axis=1)
+        d2 = jnp.sum((query_points[:, None, :] - tp) ** 2, axis=2)
         d2 = jnp.where(ok, d2, big)
-        better = d2 < best_d2
-        return jnp.where(better, d2, best_d2), jnp.where(better, lin, best_idx)
+        row_best = jnp.min(d2, axis=1)
+        row_arg = jnp.take_along_axis(
+            lin, jnp.argmin(d2, axis=1)[:, None], axis=1
+        )[:, 0]
+        better = row_best < best_d2
+        return (
+            jnp.where(better, row_best, best_d2),
+            jnp.where(better, row_arg, best_idx),
+        )
 
     init = (jnp.full((n,), big, jnp.float32), jnp.full((n,), -1, jnp.int32))
-    best_d2, best_idx = jax.lax.fori_loop(0, offsets.shape[0], body, init)
+    best_d2, best_idx = jax.lax.fori_loop(0, span, body, init)
 
     valid = best_d2 <= max_distance
     if query_mask is not None:

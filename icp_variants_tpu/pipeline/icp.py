@@ -99,6 +99,17 @@ def _compact_capacity(n: int, proba: float) -> int:
     return min(n, k)
 
 
+def _probe_trace(probe: jax.Array) -> "ICPTrace":
+    """Fixed-structure trace for stage-truncated iterations (the fused
+    TimeMeasure's stop-after probes): the checksum keeps the stage's outputs
+    live under DCE while matching the full iteration's carry structure."""
+    return ICPTrace(
+        rmse=probe.astype(jnp.float32),
+        benchmark=jnp.asarray(0.0, jnp.float32),
+        num_matches=jnp.asarray(0, jnp.int32),
+    )
+
+
 def _iteration(
     cfg: ICPConfig,
     source: Cloud,
@@ -112,6 +123,7 @@ def _iteration(
     run_benchmark: bool,
     axis_name: str | None = None,
     target_index: knn.TargetIndex | None = None,
+    stop_after: str | None = None,
 ):
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
@@ -175,12 +187,17 @@ def _iteration(
         )
 
     # --- transform (ICPOptimizer.h:251-252) ---------------------------------
-    # Masked-out queries are pinned to 0 (not a huge sentinel): their results
-    # are discarded via the mask anyway, and keeping query tiles spatially
-    # tight preserves the bbox pruning of the indexed k-NN kernel.
+    # Masked-out queries are pinned to the FIRST valid query position (not 0
+    # or a sentinel): their results are discarded via the mask anyway, and an
+    # in-cloud anchor keeps every query-tile bbox tight so the indexed k-NN
+    # kernel's pruning is unaffected by padding (a 0-pin dragged the last
+    # tiles' bboxes through the cloud center, sweeping extra target tiles).
     src_pts = se3.transform_points(source.points, pose)
-    src_pts = jnp.where(sel_mask[:, None], src_pts, 0.0)
+    anchor = src_pts[jnp.argmax(sel_mask)]
+    src_pts = jnp.where(sel_mask[:, None], src_pts, anchor)
     src_nrm = se3.transform_normals(source.normals, pose)
+    if stop_after == "selection":
+        return pose, _probe_trace(jnp.sum(src_pts) + jnp.sum(src_nrm))
 
     # --- stage 2: matching --------------------------------------------------
     if cfg.matching == Matching.PROJECTIVE:
@@ -215,6 +232,8 @@ def _iteration(
         idx, _d2, valid = knn.match(
             src_pts, target.points, cfg.max_distance, query_mask=sel_mask
         )
+    if stop_after == "matching":
+        return pose, _probe_trace(jnp.sum(_d2) + jnp.sum(idx) + jnp.sum(valid))
     idx = jnp.clip(idx, 0, target.capacity - 1)
     valid = valid & target.valid[idx]
 
@@ -230,15 +249,23 @@ def _iteration(
 
     # --- stage 3: weighting (ICPOptimizer.h:271-272) ------------------------
     w = weighting.apply_weights(cfg.weighting, m, cfg.max_distance)
+    if stop_after == "weighting":
+        return pose, _probe_trace(jnp.sum(w) + jnp.sum(m.tgt_points))
 
     # --- stage 4: rejection (ICPOptimizer.h:278-279) ------------------------
     if cfg.rejection:
         valid = rejection.normal_angle_mask(m.src_normals, m.tgt_normals, valid)
         m = m._replace(valid=valid)
+    if stop_after == "rejection":
+        return pose, _probe_trace(
+            jnp.sum(w) + jnp.sum(m.valid) + jnp.sum(m.tgt_points)
+        )
 
     # --- stages 5+6: solve + left-multiplied pose update --------------------
     increment = _solve(cfg, m, w, axis_name=axis_name)
     new_pose = increment @ pose
+    if stop_after == "solve":
+        return new_pose, _probe_trace(jnp.sum(increment))
 
     # --- instrumentation (ICPOptimizer.h:315-317) ---------------------------
     # With the point axis sharded, gt rows shard alongside and the error
@@ -261,7 +288,8 @@ def _iteration(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_iterations", "run_benchmark")
+    jax.jit,
+    static_argnames=("cfg", "num_iterations", "run_benchmark", "stop_after"),
 )
 def _run_icp_jit(
     cfg: ICPConfig,
@@ -275,6 +303,7 @@ def _run_icp_jit(
     gt_tgt: jax.Array,
     gt_valid: jax.Array,
     run_benchmark: bool,
+    stop_after: str | None = None,
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
@@ -293,7 +322,7 @@ def _run_icp_jit(
         stride, k = per_iter
         new_pose, rec = _iteration(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
-            run_benchmark, target_index=target_index,
+            run_benchmark, target_index=target_index, stop_after=stop_after,
         )
         return new_pose, rec
 
@@ -313,6 +342,7 @@ def run_icp(
     key: jax.Array | None = None,
     run_benchmark: bool = False,
     num_source_points: int | None = None,
+    stop_after: str | None = None,
 ) -> ICPResult:
     """Estimate the pose aligning ``source`` onto ``target``.
 
@@ -364,6 +394,7 @@ def run_icp(
         gt_tgt,
         gtv,
         run_benchmark,
+        stop_after=stop_after,
     )
 
 

@@ -44,23 +44,29 @@ class StageTimes:
     solver: float = 0.0
     convergence: float = 0.0
     n_iterations: int = 0
+    # Fused-profile extras: full production run time and total wall clock of
+    # the profiling session (zero for the eager profiler).
+    full_run: float = 0.0
+    total_wall: float = 0.0
 
     def report(self) -> str:
         """calculateIterationTime-style report (TimeMeasure.h:43-60)."""
         total = (
             self.selection + self.matching + self.weighting
-            + self.rejection + self.solver
+            + self.rejection + self.solver + self.convergence
         )
         lines = [
-            "Mean time per ICP iteration:",
+            f"Mean time per ICP iteration ({self.n_iterations} iterations):",
             f"  selection:   {self.selection * 1e3:9.3f} ms",
             f"  matching:    {self.matching * 1e3:9.3f} ms",
             f"  weighting:   {self.weighting * 1e3:9.3f} ms",
             f"  rejection:   {self.rejection * 1e3:9.3f} ms",
             f"  solver:      {self.solver * 1e3:9.3f} ms",
+            f"  convergence: {self.convergence * 1e3:9.3f} ms",
             f"  total:       {total * 1e3:9.3f} ms",
-            f"  convergence (whole run wall-clock): {self.convergence:.3f} s",
         ]
+        if self.full_run:
+            lines.append(f"  full fused run: {self.full_run:.4f} s")
         return "\n".join(lines)
 
 
@@ -166,7 +172,7 @@ def profile_stages(
         times.rejection += dt_reject / repetitions
         times.solver += dt_solve / repetitions
 
-    times.convergence = time.perf_counter() - t_run0
+    times.total_wall = time.perf_counter() - t_run0
     return times
 
 
@@ -178,3 +184,169 @@ def trace(log_dir: str = "/tmp/icp_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Fused (in-scan) TimeMeasure — stage-differencing the REAL compiled program
+# ---------------------------------------------------------------------------
+
+# v5e per-chip ballpark peaks for the efficiency report: f32 matmuls at
+# HIGHEST precision run as multi-pass bf16 on the MXU (~1/3 of the 197
+# TFLOP/s bf16 peak); HBM streams ~819 GB/s.
+PEAK_F32_FLOPS = 6.6e13
+PEAK_HBM_BYTES = 8.19e11
+
+_STAGES = ("selection", "matching", "weighting", "rejection", "solve", None)
+
+
+def profile_fused_stages(
+    cfg: ICPConfig,
+    source: Cloud,
+    target: Cloud,
+    *,
+    key=None,
+    repetitions: int = 3,
+    run_benchmark: bool = False,
+) -> StageTimes:
+    """Per-stage timing of the REAL fused scan (TimeMeasure.h:20-60
+    semantics inside one compiled program).
+
+    Runs the production executable truncated after each pipeline stage
+    (``stop_after`` probes — same `lax.scan`, same kernels) and attributes
+    per-iteration time by differencing. Unlike :func:`profile_stages`, the
+    numbers include exactly the fusion/overlap the production program gets.
+    """
+    from icp_variants_tpu.pipeline import icp as icp_mod
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def run_variant(stage):
+        res = icp_mod.run_icp(
+            cfg, source, target, key=key, run_benchmark=run_benchmark,
+            stop_after=stage,
+        )
+        # device_get: block_until_ready returns early over tunneled backends.
+        jax.device_get(res.trace.rmse)
+        return res
+
+    wall0 = time.perf_counter()
+    totals = {}
+    for stage in _STAGES:
+        run_variant(stage)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repetitions):
+            run_variant(stage)
+        totals[stage] = (time.perf_counter() - t0) / repetitions
+
+    n_iter = int(
+        cloud_lib.multires_stride_schedule(
+            int(jax.device_get(source.num_valid())), cfg.n_iterations,
+            cfg.multi_resolution, cfg.multi_resolution_min_points,
+        ).shape[0]
+    )
+
+    def per_iter(a, b):
+        return max(totals[a] - (totals[b] if b is not ... else 0.0), 0.0) / n_iter
+
+    times = StageTimes(n_iterations=n_iter)
+    times.selection = totals["selection"] / n_iter
+    times.matching = per_iter("matching", "selection")
+    times.weighting = per_iter("weighting", "matching")
+    times.rejection = per_iter("rejection", "weighting")
+    times.solver = per_iter("solve", "rejection")
+    times.convergence = per_iter(None, "solve")
+    times.total_wall = time.perf_counter() - wall0
+    times.full_run = totals[None]
+    return times
+
+
+def kernel_efficiency(
+    cfg: ICPConfig,
+    source: Cloud,
+    target: Cloud,
+    matching_time: float,
+    solver_time: float,
+    key=None,
+) -> str:
+    """Achieved-FLOPs/bandwidth estimate for the two flagship kernels
+    (BASELINE.json "kernel efficiency" row): the visited-list k-NN matcher
+    and the JTJ/normal-equation accumulation.
+
+    Work counts come from the REAL visit lists of iteration 0 (device
+    computed); times from :func:`profile_fused_stages`.
+    """
+    from icp_variants_tpu.pipeline import icp as icp_mod
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    # Reconstruct iteration-0 queries exactly like stage 1 does.
+    if cfg.selection == Selection.RANDOM_FAST:
+        from icp_variants_tpu.ops import selection as sel_mod
+
+        k_cap = icp_mod._compact_capacity(source.capacity, cfg.selection_proba)
+        n_draw = min(int(source.capacity * cfg.selection_proba + 0.5), k_cap)
+        keys = jax.random.split(key, max(cfg.n_iterations, 1))
+        sel_idx, sel_mask = sel_mod.random_indices(
+            keys[0], source.capacity, n_draw, k_cap
+        )
+        q = source.points[sel_idx]
+    else:
+        q = source.points
+        sel_mask = source.valid
+    anchor = q[jnp.argmax(sel_mask)]
+    q = jnp.where(sel_mask[:, None], q, anchor)
+
+    tile_t = knn.V2_TILE_T
+    index = knn.build_target_index(target.points, tile_t=tile_t)
+    qp = knn._pad_rows(knn._pad_features(q), knn.TILE_Q, 0.0)
+    nq_tiles = qp.shape[0] // knn.TILE_Q
+    qtiles = qp.reshape(nq_tiles, knn.TILE_Q, knn.FEATURE_PAD)
+    bound = jnp.float32(cfg.max_distance) * (1 + 1e-6) + 1e-30
+    _, _, counts, _ = knn._visit_lists(
+        jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
+        index.bbox_min, index.bbox_max, bound,
+    )
+    visited = int(jax.device_get(jnp.sum(counts)))
+
+    # Matching kernel: bytes = visited tile pages streamed from HBM; flops =
+    # the q @ t^T contraction over visited tiles (upper bound: the
+    # running-best prune skips some of both).
+    m_bytes = visited * tile_t * knn.FEATURE_PAD * 4
+    m_flops = visited * tile_t * knn.TILE_Q * 2 * knn.FEATURE_PAD
+    m_bw = m_bytes / max(matching_time, 1e-9)
+    m_fl = m_flops / max(matching_time, 1e-9)
+
+    # Solver (JTJ accumulation): ~4 residual rows per match, 6-wide.
+    n = qp.shape[0]
+    rows = 4 if cfg.metric != 0 else 3
+    s_flops = n * rows * (2 * 36 + 2 * 6 + 30)
+    s_bytes = n * rows * (6 + 1) * 4 * 2
+    s_bw = s_bytes / max(solver_time, 1e-9)
+    s_fl = s_flops / max(solver_time, 1e-9)
+
+    lines = [
+        "Kernel efficiency (analytic work / measured fused-stage time):",
+        f"  k-NN matcher: {visited} visited tiles/iter, "
+        f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP",
+        f"    achieved {m_bw / 1e9:7.1f} GB/s ({100 * m_bw / PEAK_HBM_BYTES:5.1f}% HBM peak), "
+        f"{m_fl / 1e12:6.2f} TFLOP/s ({100 * m_fl / PEAK_F32_FLOPS:5.1f}% MXU f32 peak)",
+        f"  JTJ accumulate: {n} matches x {rows} rows: "
+        f"{s_bytes / 1e6:.2f} MB, {s_flops / 1e9:.3f} GFLOP",
+        f"    achieved {s_bw / 1e9:7.1f} GB/s ({100 * s_bw / PEAK_HBM_BYTES:5.1f}% HBM peak), "
+        f"{s_fl / 1e12:6.2f} TFLOP/s ({100 * s_fl / PEAK_F32_FLOPS:5.1f}% MXU f32 peak)",
+    ]
+    return "\n".join(lines)
+
+
+def fused_report(cfg, source, target, *, key=None, repetitions: int = 3) -> str:
+    """The ``--profile`` surface: fused per-stage breakdown + kernel
+    efficiency, from the production executable."""
+    times = profile_fused_stages(
+        cfg, source, target, key=key, repetitions=repetitions
+    )
+    eff = kernel_efficiency(
+        cfg, source, target, times.matching, times.solver, key=key
+    )
+    return times.report() + "\n" + eff

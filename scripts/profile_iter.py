@@ -130,7 +130,7 @@ def main():
         nq_tiles = q.shape[0] // knn.TILE_Q
         qtiles = q.reshape(nq_tiles, knn.TILE_Q, knn.FEATURE_PAD)
         bound_val = jnp.float32(MAXD) * (1.0 + 1e-6) + 1e-30
-        vlist, lblist, counts = knn._visit_lists(
+        vlist, lblist, counts, _c0 = knn._visit_lists(
             jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
             index.bbox_min, index.bbox_max, bound_val,
         )

@@ -24,6 +24,39 @@ class TestProfiling:
         report = times.report()
         assert "matching" in report and "solver" in report
 
+    def test_fused_stage_breakdown(self):
+        """In-scan TimeMeasure: stage-differencing of the real fused scan
+        (TimeMeasure.h:20-60 semantics) + the kernel-efficiency report."""
+        loader = BunnyDataLoader()
+        sample = loader.get_item(0)
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            n_iterations=5,
+        )
+        times = profiling.profile_fused_stages(
+            cfg, sample.source, sample.target, repetitions=1
+        )
+        assert times.full_run > 0
+        assert times.n_iterations == 5
+        # Differences can individually be ~0 after fusion, but the stage sum
+        # must account for (almost exactly) the full fused run.
+        total = (times.selection + times.matching + times.weighting
+                 + times.rejection + times.solver + times.convergence)
+        assert total * times.n_iterations <= times.full_run * 1.5 + 0.05
+        report = profiling.fused_report(
+            cfg, sample.source, sample.target, repetitions=1
+        )
+        assert "k-NN matcher" in report and "JTJ accumulate" in report
+        assert "matching" in report
+
+    def test_bunny_profile_cli(self, capsys):
+        from icp_variants_tpu.__main__ import main
+
+        assert main(["bunny", "--metric", "1", "--linear", "--profile"]) == 0
+        out = capsys.readouterr().out
+        assert "Mean time per ICP iteration" in out
+        assert "k-NN matcher" in out
+
 
 class TestAnalysis:
     def test_describe(self):

@@ -145,7 +145,7 @@ class TestVisitLists:
         qp = np.asarray(knn._pad_rows(knn._pad_features(jnp.asarray(q)), tile_q, 0.0))
         index = knn.build_target_index(jnp.asarray(t), tile_t=tile_t)
         qtiles = qp.reshape(-1, tile_q, knn.FEATURE_PAD)
-        vlist, lblist, counts = knn._visit_lists(
+        vlist, lblist, counts, _counts0 = knn._visit_lists(
             jnp.min(jnp.asarray(qtiles), axis=1),
             jnp.max(jnp.asarray(qtiles), axis=1),
             index.bbox_min, index.bbox_max, jnp.float32(bound),
@@ -159,7 +159,7 @@ class TestVisitLists:
         t = t[np.argsort(knn.morton_codes_np(t))]
         q = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
         bound = 0.5
-        vlist, lblist, counts, index, qtiles = self._lists(q, t, 128, 256, bound)
+        vlist, suffix, counts, index, qtiles = self._lists(q, t, 128, 256, bound)
         # Reference visit set per query tile from raw bbox arithmetic.
         bmin, bmax = np.asarray(index.bbox_min), np.asarray(index.bbox_max)
         for r in range(vlist.shape[0]):
@@ -171,30 +171,42 @@ class TestVisitLists:
             assert set(vlist[r, : counts[r]].tolist()) == expected
             # Padding slots carry tile 0 (always a valid DMA target).
             assert (vlist[r, counts[r]:] == 0).all()
-            # Stored lower bounds align with the listed tiles.
+            if counts[r] == 0:
+                continue
+            # The suffix-min list is exact: position k holds the min lb over
+            # listed tiles >= k; padding suffixes are huge (never started).
+            lbs = lb[vlist[r, : counts[r]]]
+            expected_suffix = np.minimum.accumulate(lbs[::-1])[::-1]
             np.testing.assert_allclose(
-                lblist[r, : counts[r]], lb[vlist[r, : counts[r]]], rtol=1e-5
+                suffix[r, : counts[r]], expected_suffix, rtol=1e-5
             )
+            assert (suffix[r, counts[r]:] > bound).all()
 
-    def test_bin_ordering_nearest_first(self):
-        """Visited tiles are octave-ordered by lower bound: every listed
-        tile's lb-bin is non-decreasing along the list."""
+    def test_sorted_nearest_first(self):
+        """Visited tiles come sorted ascending by lower bound, within the
+        sqrt-scale counting-sort bin resolution."""
         rng = np.random.default_rng(11)
         t = rng.uniform(-8, 8, (2000, 3)).astype(np.float32)
         t = t[np.argsort(knn.morton_codes_np(t))]
         q = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
         bound = 4.0
-        vlist, lblist, counts, _, _ = self._lists(q, t, 128, 256, bound)
-        nbins = 8
+        vlist, suffix, counts, index, qtiles = self._lists(q, t, 128, 256, bound)
+        bmin, bmax = np.asarray(index.bbox_min), np.asarray(index.bbox_max)
+        bin_width = np.sqrt(bound) / 8
         for r in range(vlist.shape[0]):
-            lbs = lblist[r, : counts[r]]
-            bins = np.clip((lbs * (nbins / bound)).astype(int), 0, nbins - 1)
-            assert (np.diff(bins) >= 0).all()
+            qmin, qmax = qtiles[r].min(axis=0), qtiles[r].max(axis=0)
+            gap = np.maximum(np.maximum(qmin - bmax, bmin - qmax), 0.0)
+            lb = (gap * gap).sum(axis=1)
+            lbs = np.sqrt(lb[vlist[r, : counts[r]]])
+            # Non-decreasing up to one bin width of slack.
+            assert (np.diff(lbs) >= -bin_width - 1e-6).all()
+            # Suffix-min is non-decreasing by construction.
+            assert (np.diff(suffix[r]) >= -1e-6).all()
 
     def test_empty_visit_set(self):
         t = np.zeros((512, 3), np.float32)
         q = np.full((128, 3), 100.0, np.float32)  # far from every target
-        vlist, lblist, counts, _, _ = self._lists(q, t, 128, 256, 0.01)
+        vlist, suffix, counts, _, _ = self._lists(q, t, 128, 256, 0.01)
         assert (counts == 0).all()
 
 

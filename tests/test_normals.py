@@ -105,3 +105,56 @@ class TestKnnNormals:
         )
         assert np.isnan(n[3]).all()
         assert np.isfinite(n[valid]).all()
+
+
+class TestFastKnnNormals:
+    """estimate_normals_knn_fast: Morton-banded exact k-NN normals (the
+    <1s ETH-scale replacement for the dense sweep, PointCloud.h:41-76)."""
+
+    def test_matches_dense_path(self):
+        rng = np.random.default_rng(7)
+        xy = rng.uniform(-5, 5, (3000, 2)).astype(np.float32)
+        z = (0.4 * np.sin(xy[:, 0]) * np.cos(xy[:, 1])).astype(np.float32)
+        pts = np.column_stack([xy, z]).astype(np.float32)
+        valid = np.ones(len(pts), bool)
+        dense = np.asarray(
+            normals.estimate_normals_knn(jnp.asarray(pts), jnp.asarray(valid), k=5)
+        )
+        fast = np.asarray(
+            normals.estimate_normals_knn_fast(pts, valid, k=5)
+        )
+        # Same neighbor sets -> same normals up to fp; compare |dot| ~ 1.
+        # A handful of rows have exact k-th/(k+1)-th distance ties that the
+        # two paths break differently — those flips perturb the normal by
+        # <2 deg, hence the 0.999 floor rather than strict equality.
+        dots = np.abs(np.sum(dense * fast, axis=1))
+        assert (dots > 0.999).all(), dots.min()
+
+    def test_exact_neighbors_vs_scipy(self):
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(8)
+        pts = rng.uniform(-3, 3, (2000, 3)).astype(np.float32)
+        valid = np.ones(len(pts), bool)
+        # Compare the k-th neighbor distance implied by the normals path:
+        # run the internal machinery end to end by checking the fast
+        # normals against dense-scipy-built covariance normals.
+        tree = cKDTree(pts)
+        _, idx = tree.query(pts, k=5, workers=-1)
+        neigh = pts[idx]
+        mean = neigh.mean(axis=1, keepdims=True)
+        cov = np.einsum("nki,nkj->nij", neigh - mean, neigh - mean) / 5
+        ref = np.linalg.eigh(cov)[1][:, :, 0]
+        fast = np.asarray(normals.estimate_normals_knn_fast(pts, valid, k=5))
+        dots = np.abs(np.sum(ref * fast, axis=1))
+        assert (dots > 0.999).mean() > 0.995, dots.min()
+
+    def test_invalid_rows_nan_and_not_neighbors(self):
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(-2, 2, (1000, 3)).astype(np.float32)
+        valid = np.ones(1000, bool)
+        valid[::7] = False
+        pts[::7] = np.nan  # non-finite invalid rows must not poison anything
+        fast = np.asarray(normals.estimate_normals_knn_fast(pts, valid, k=5))
+        assert np.isnan(fast[::7]).all()
+        assert np.isfinite(fast[valid]).all()
