@@ -51,29 +51,39 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
-def bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm):
-    """Batched registration: BATCH_PAIRS scan pairs per program (the ETH
-    sweep's data-parallel axis, run on one chip). Returns seconds/pair."""
+def bench_tpu(pairs, selection):
+    """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
+    (the ETH sweep's data-parallel axis, run on one chip). Returns
+    seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
+    extension, headline) or RANDOM (reference-exact Bernoulli, parity)."""
     import jax
 
     from icp_variants_tpu.core import cloud as cloud_lib
     from icp_variants_tpu.pipeline import icp
     from icp_variants_tpu.pipeline.config import (
-        ICPConfig, Metric, Minimizer, Selection,
+        ICPConfig, Metric, Minimizer,
     )
 
     cfg = ICPConfig(
         metric=Metric.SYMMETRIC,
         minimizer=Minimizer.LINEAR,
-        selection=Selection.RANDOM_FAST,
+        selection=selection,
         selection_proba=SELECTION_P,
         n_iterations=N_ITERATIONS,
         max_distance=MAX_DISTANCE,
     )
-    source = cloud_lib.from_numpy(src_pts, normals=src_nrm, morton_order=True)
-    target = cloud_lib.from_numpy(tgt_pts, normals=tgt_nrm, morton_order=True)
-    sources = icp.stack_clouds([source] * BATCH_PAIRS)
-    targets = icp.stack_clouds([target] * BATCH_PAIRS)
+    sources = icp.stack_clouds(
+        [
+            cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+            for (sp, sn, _, _) in pairs
+        ]
+    )
+    targets = icp.stack_clouds(
+        [
+            cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+            for (_, _, tp, tn) in pairs
+        ]
+    )
 
     def run(seed):
         res = icp.run_icp_batch(
@@ -115,21 +125,39 @@ def bench_cpu_proxy(src_pts, tgt_pts):
     return time.perf_counter() - t0
 
 
-def main():
-    src_pts, src_nrm = synth_cloud(N_POINTS, 0)
-    tgt_pts, tgt_nrm = synth_cloud(N_POINTS, 0)
-    # Perturb source like the ETH driver's scaled GT pose (main.cpp:419-429).
-    ang = 0.05
-    R = np.array(
-        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
-        np.float32,
-    )
-    src_pts = src_pts @ R.T + np.array([0.5, -0.3, 0.1], np.float32)
-    src_nrm = src_nrm @ R.T
+def make_pairs():
+    """BATCH_PAIRS distinct (source, target) pairs: per-pair clouds and
+    per-pair perturbations (the ETH driver's scaled GT pose,
+    main.cpp:419-429)."""
+    pairs = []
+    for i in range(BATCH_PAIRS):
+        tgt_pts, tgt_nrm = synth_cloud(N_POINTS, 2 * i)
+        ang = 0.05 + 0.01 * i
+        R = np.array(
+            [
+                [np.cos(ang), -np.sin(ang), 0],
+                [np.sin(ang), np.cos(ang), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        shift = np.array([0.5 - 0.1 * i, -0.3 + 0.05 * i, 0.1], np.float32)
+        src_pts = (tgt_pts @ R.T + shift).astype(np.float32)
+        src_nrm = (tgt_nrm @ R.T).astype(np.float32)
+        pairs.append((src_pts, src_nrm, tgt_pts, tgt_nrm))
+    return pairs
 
-    dt_tpu = bench_tpu(src_pts, src_nrm, tgt_pts, tgt_nrm)
+
+def main():
+    from icp_variants_tpu.pipeline.config import Selection
+
+    pairs = make_pairs()
+
+    dt_tpu = bench_tpu(pairs, Selection.RANDOM_FAST)
+    dt_parity = bench_tpu(pairs, Selection.RANDOM)
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).
+    src_pts, _, tgt_pts, _ = pairs[0]
     dt_cpu = min(bench_cpu_proxy(src_pts, tgt_pts) for _ in range(2))
 
     pairs_per_sec = 1.0 / dt_tpu
@@ -141,6 +169,8 @@ def main():
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01)",
                 "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+                "parity_selection_pairs_per_sec": round(1.0 / dt_parity, 4),
+                "distinct_pairs_per_batch": BATCH_PAIRS,
             }
         )
     )

@@ -449,11 +449,18 @@ def nn_search_pruned(
 # floors it around 10 ms). This kernel flips the loop: the grid is 1-D over
 # query tiles, and each step walks ONLY its visited target tiles — ids
 # precomputed on the host side of the call — streaming them from HBM with
-# double-buffered async copies. Finer target tiles (512 rows) become
-# affordable, which also tightens the bboxes and prunes more.
+# double-buffered async copies.
+#
+# Defaults from the hardware sweep (scripts/knn_sweep.py, 4.7k queries vs
+# 365k targets, bound 10): tile_q=128 / tile_t=1024 / chunk=4 at 3.76
+# ms/call incl. visit lists, vs 4.39 for 256/1024/8 and 4.12 for 128/512/8.
+# Smaller query tiles tighten per-tile bboxes (fewer visited tiles); chunk 4
+# halves the tail waste of count rounding at little DMA-amortization loss.
 
 
-V2_TILE_T = 512
+V2_TILE_T = 1024
+V2_TILE_Q = 128
+V2_CHUNK = 4
 
 
 def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
@@ -686,9 +693,9 @@ def nn_search_pruned_v2(
     max_distance: float | jax.Array,
     *,
     interpret: bool = False,
-    tile_q: int = TILE_Q,
+    tile_q: int = V2_TILE_Q,
     tile_t: int = V2_TILE_T,
-    chunk: int = 8,
+    chunk: int = V2_CHUNK,
 ) -> tuple[jax.Array, jax.Array]:
     """Visited-list exact 1-NN. Same contract as :func:`nn_search_pruned`;
     build the index with ``build_target_index(..., tile_t=V2_TILE_T)``."""

@@ -316,7 +316,7 @@ def _run_icp_jit(
             feats = knn.color_features(target.points, target.colors)
         else:
             feats = target.points
-        target_index = knn.build_target_index(feats)
+        target_index = knn.build_target_index(feats, tile_t=knn.V2_TILE_T)
 
     def body(pose, per_iter):
         stride, k = per_iter
