@@ -27,6 +27,45 @@ def random_sampling(
     return base_mask & (u < proba)
 
 
+def bernoulli_gap_indices(
+    key: jax.Array,
+    proba: float,
+    stride: jax.Array,
+    capacity: int,
+    k_cap: int,
+    index_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Positions of a Bernoulli(``proba``) process over the stride lattice,
+    drawn directly as geometric inter-arrival gaps.
+
+    A Bernoulli process' success positions have iid Geometric(p) gaps, so
+    slot i of the output holds the row index of the i-th success — the
+    *exact* distribution of the reference's per-point mt19937 Bernoulli +
+    compaction (selection.h:88-106, ICPOptimizer.h:247-248) at O(k) cost
+    instead of an O(N) full-cloud draw + cumsum-compaction per iteration.
+    Rows come out ascending by construction, preserving the Morton coherence
+    the pruned k-NN kernel's query bboxes rely on. Successes past the
+    ``k_cap``-th are dropped — the same >10-sigma overflow tail as
+    ``_compact_capacity``'s fixed buffer.
+
+    ``stride`` restricts the process to the multi-resolution lattice
+    (rows ≡ 0 mod stride *globally*); ``index_offset`` is the shard's global
+    row offset under point-axis sharding.
+    """
+    u = jax.random.uniform(key, (k_cap,), minval=jnp.finfo(jnp.float32).tiny)
+    # failures before each success ~ Geometric0(p)
+    g = jnp.floor(jnp.log(u) / jnp.log1p(-proba)).astype(jnp.int32)
+    lattice = jnp.cumsum(g + 1) - 1
+    # Clamp on the lattice BEFORE scaling by stride so rows stay in int32
+    # even at coarse strides (clamped slots land past capacity => masked).
+    lattice_cap = (capacity + stride - 1) // stride
+    lattice = jnp.minimum(lattice, lattice_cap)
+    start = (-jnp.asarray(index_offset, jnp.int32)) % stride
+    rows = lattice * stride + start
+    in_range = rows < capacity
+    return jnp.minimum(rows, capacity - 1), in_range
+
+
 def random_indices(
     key: jax.Array, n: int, count: int, capacity: int
 ) -> tuple[jax.Array, jax.Array]:

@@ -134,12 +134,45 @@ def _iteration(
     else:
         index_offset = 0
 
+    if stop_after == "floor":
+        # Scan/dispatch floor probe for the fused TimeMeasure: no pipeline
+        # stage runs; the key-dependent checksum keeps the scan body alive.
+        return pose, _probe_trace(
+            jnp.sum(key.astype(jnp.float32)) + jnp.sum(pose)
+        )
+
     # --- stage 1: selection -------------------------------------------------
     if cfg.multi_resolution:
         base_mask = cloud_lib.coarse_stride_mask(source, stride, index_offset)
     else:
         base_mask = source.valid
-    if cfg.selection == Selection.RANDOM:
+    if cfg.selection == Selection.RANDOM and cfg.compact_queries:
+        # Exact Bernoulli selection drawn as geometric gaps (see
+        # bernoulli_gap_indices): identical distribution to per-point
+        # Bernoulli + compaction, but O(k) instead of an O(N) full-cloud
+        # draw + cumsum per iteration. Stride membership is enforced by the
+        # gap process' lattice, so only the validity part of base_mask
+        # remains to check per selected row.
+        k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
+        sel_stride = stride if cfg.multi_resolution else jnp.int32(1)
+        sel_idx, in_range = selection.bernoulli_gap_indices(
+            key, cfg.selection_proba, sel_stride, source.capacity, k_cap,
+            index_offset=index_offset,
+        )
+        if cfg.multi_resolution:
+            residual = source.valid & jnp.isfinite(source.normals).all(axis=1)
+        else:
+            residual = source.valid
+        sel_mask = in_range & residual[sel_idx]
+        source = Cloud(
+            points=jnp.where(
+                sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
+            ),
+            normals=source.normals[sel_idx],
+            colors=source.colors[sel_idx],
+            valid=sel_mask,
+        )
+    elif cfg.selection == Selection.RANDOM:
         sel_mask = selection.random_sampling(key, base_mask, cfg.selection_proba)
     elif cfg.selection == Selection.RANDOM_FAST:
         # Fixed-count uniform draw: skips the full-cloud Bernoulli + cumsum
@@ -160,31 +193,6 @@ def _iteration(
         )
     else:
         sel_mask = selection.select_all(base_mask)
-
-    # --- compaction ---------------------------------------------------------
-    # The reference compacts the random selection into a dense vector
-    # (selection.h:88-106); dynamic shapes are impossible under jit, so we
-    # gather the selected rows into a FIXED capacity K ~ 1.25*p*N. At ETH
-    # settings (p=0.01, N=365k) this turns a 365k-query k-NN into a
-    # 4.7k-query one — the difference between O(N*M) and O(pN*M) per
-    # iteration.
-    if cfg.selection == Selection.RANDOM and cfg.compact_queries:
-        k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
-        # nonzero-with-static-size lowers to cumsum+scatter — far cheaper
-        # than a top_k sort at ETH scale. Rows past the true count are fill.
-        (sel_idx,) = jnp.nonzero(
-            sel_mask, size=k_cap, fill_value=source.capacity - 1
-        )
-        n_selected = jnp.sum(sel_mask)
-        sel_mask = jnp.arange(k_cap) < n_selected
-        source = Cloud(
-            points=jnp.where(
-                sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
-            ),
-            normals=source.normals[sel_idx],
-            colors=source.colors[sel_idx],
-            valid=sel_mask,
-        )
 
     # --- transform (ICPOptimizer.h:251-252) ---------------------------------
     # Masked-out queries are pinned to the FIRST valid query position (not 0

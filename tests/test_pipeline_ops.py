@@ -41,6 +41,77 @@ class TestSelection:
         assert not bool(jnp.any(sel))
 
 
+class TestBernoulliGaps:
+    """The geometric-gap draw must reproduce the Bernoulli(p) process that
+    the reference's per-point mt19937 + compaction realises
+    (selection.h:88-106): binomial count, uniform marginals, ascending
+    rows."""
+
+    def test_count_matches_binomial(self):
+        n, p, k_cap = 20000, 0.05, 1536
+        counts = []
+        draw = jax.jit(
+            lambda k: selection.bernoulli_gap_indices(
+                k, p, jnp.int32(1), n, k_cap
+            )[1].sum()
+        )
+        for s in range(200):
+            counts.append(int(draw(jax.random.PRNGKey(s))))
+        counts = np.asarray(counts)
+        mean, std = n * p, np.sqrt(n * p * (1 - p))
+        # 200-sample mean is within ~4 standard errors; std within 20%.
+        assert abs(counts.mean() - mean) < 4 * std / np.sqrt(200)
+        assert 0.8 * std < counts.std() < 1.2 * std
+
+    def test_uniform_marginals_and_ascending(self):
+        n, p, k_cap = 10000, 0.03, 768
+        hits = np.zeros(n)
+        for s in range(100):
+            rows, mask = selection.bernoulli_gap_indices(
+                jax.random.PRNGKey(s), p, jnp.int32(1), n, k_cap
+            )
+            rows, mask = np.asarray(rows), np.asarray(mask)
+            valid_rows = rows[mask]
+            assert np.all(np.diff(valid_rows) > 0)  # strictly ascending
+            hits[valid_rows] += 1
+        # every decile of the cloud is hit at the same ~p rate
+        decile_rates = hits.reshape(10, -1).mean(axis=1) / 100
+        np.testing.assert_allclose(decile_rates, p, rtol=0.25)
+
+    def test_stride_lattice_and_offset(self):
+        n, p, k_cap = 5000, 0.2, 1280
+        stride = jnp.int32(8)
+        rows, mask = selection.bernoulli_gap_indices(
+            jax.random.PRNGKey(3), p, stride, n, k_cap, index_offset=13
+        )
+        rows, mask = np.asarray(rows), np.asarray(mask)
+        # globally (row + offset) ≡ 0 mod stride
+        assert np.all((rows[mask] + 13) % 8 == 0)
+        assert np.all(rows[mask] < n)
+        # rate over the lattice is p
+        lattice_size = len(range((-13) % 8, n, 8))
+        assert abs(mask.sum() - p * lattice_size) < 5 * np.sqrt(
+            lattice_size * p * (1 - p)
+        )
+
+    def test_gap_distribution_geometric(self):
+        p, k_cap = 0.1, 4096
+        rows, mask = selection.bernoulli_gap_indices(
+            jax.random.PRNGKey(7), p, jnp.int32(1), 10**6, k_cap
+        )
+        gaps = np.diff(np.asarray(rows)[np.asarray(mask)])
+        # mean inter-arrival of a Bernoulli process is 1/p
+        assert abs(gaps.mean() - 1 / p) < 0.6
+
+    def test_coarse_stride_no_int32_overflow(self):
+        # tiny p at a coarse stride: unclamped cumsum*stride would overflow
+        rows, mask = selection.bernoulli_gap_indices(
+            jax.random.PRNGKey(0), 1e-4, jnp.int32(2048), 365056, 4736
+        )
+        rows = np.asarray(rows)
+        assert rows.min() >= 0 and rows.max() < 365056
+
+
 class TestWeighting:
     def test_constant(self):
         m = _arrays()
