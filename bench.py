@@ -28,7 +28,7 @@ N_ITERATIONS = 50           # main.cpp:366
 SELECTION_P = 0.01          # main.cpp:379
 MAX_DISTANCE = 10.0         # main.cpp:361
 N_TIMED_RUNS = 3
-BATCH_PAIRS = 8             # data-parallel pairs per program (single chip)
+BATCH_PAIRS = 16            # data-parallel pairs per program (single chip)
 
 
 def synth_cloud(n, seed):
@@ -153,8 +153,12 @@ def main():
 
     pairs = make_pairs()
 
-    dt_tpu = bench_tpu(pairs, Selection.RANDOM_FAST)
-    dt_parity = bench_tpu(pairs, Selection.RANDOM)
+    # HEADLINE = the reference-exact Bernoulli RANDOM mode: since the
+    # geometric-gap selection rewrite it is as fast as the RANDOM_FAST
+    # stratified extension, so the headline carries no selection-mode
+    # asterisk. RANDOM_FAST is reported alongside.
+    dt_tpu = bench_tpu(pairs, Selection.RANDOM)
+    dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST)
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).
     src_pts, _, tgt_pts, _ = pairs[0]
@@ -167,9 +171,10 @@ def main():
             {
                 "metric": "eth_scale_scan_pairs_per_sec_chip",
                 "value": round(pairs_per_sec, 4),
-                "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01)",
+                "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
+                "reference-exact Bernoulli selection)",
                 "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
-                "parity_selection_pairs_per_sec": round(1.0 / dt_parity, 4),
+                "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
                 "distinct_pairs_per_batch": BATCH_PAIRS,
             }
         )

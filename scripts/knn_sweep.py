@@ -86,8 +86,12 @@ def main():
 
     log("=== knn v2 sweep (4736 q vs 365k t, bound 10, 20-iter scan) ===")
     for tile_t, chunk, tile_q in (
-        (1024, 8, 256), (512, 8, 128), (1024, 8, 128), (1024, 4, 128),
-        (512, 8, 64), (1024, 8, 512),
+        (1024, 4, 128),   # current production default (reference point)
+        (2048, 2, 128),   # same 4k window, half the DMA count
+        (2048, 4, 128),   # 8k window, quarter-rate scalar loop
+        (4096, 2, 128),   # 8k window, giant pages
+        (2048, 2, 64),    # tighter query bboxes against bigger pages
+        (1024, 8, 128),   # deeper chunks at fine pages
     ):
         try:
             timed_scan(tile_t, chunk, tile_q)

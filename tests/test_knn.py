@@ -313,8 +313,10 @@ class TestPrunedV2:
         np.testing.assert_allclose(d2, ref_d2, rtol=1e-3, atol=2e-7)
 
     def test_bench_tile_configuration(self):
-        """The exact production configuration (tile_q=256, tile_t=512,
-        chunk=8) at a reduced-but-multi-tile scale."""
+        """The exact production configuration — nn_search_pruned_v2's
+        DEFAULTS (tile_q=V2_TILE_Q, tile_t=V2_TILE_T, chunk=V2_CHUNK), the
+        ones match_indexed dispatches to on TPU — at a reduced-but-
+        multi-tile scale."""
         rng = np.random.default_rng(19)
         t = rng.uniform(-10, 10, (6000, 3)).astype(np.float32)
         t = t[np.argsort(knn.morton_codes_np(t))]
@@ -325,7 +327,6 @@ class TestPrunedV2:
         index = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
         idx, d2 = knn.nn_search_pruned_v2(
             jnp.asarray(q), index, max_d, interpret=True,
-            tile_q=knn.TILE_Q, tile_t=knn.V2_TILE_T, chunk=8,
         )
         idx, d2 = np.asarray(idx), np.asarray(d2)
         within = ref_d2 <= max_d

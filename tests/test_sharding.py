@@ -188,6 +188,36 @@ class TestFullShardedRun:
         assert np.isfinite(np.asarray(res.pose)).all()
         assert rmse[-1] < rmse[0] * 0.5
 
+    def test_random_bernoulli_sharded_converges(self):
+        """Points-only mesh with the geometric-gap Bernoulli selection: the
+        per-shard lattice offset + folded PRNG streams must still yield a
+        converging run (streams differ from single-device, so assert
+        convergence, not bitwise parity)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = jax.make_mesh((8,), ("points",))
+        from icp_variants_tpu.pipeline.config import Selection
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8,
+            selection=Selection.RANDOM, selection_proba=0.5,
+            multi_resolution=True,
+        )
+        sources, targets = self._clouds(1, 2048, seed=3)
+        source = jax.tree.map(lambda x: x[0], sources)
+        target = jax.tree.map(lambda x: x[0], targets)
+        res = sharded_icp.run_icp_sharded(
+            cfg, source, target, mesh,
+            gt_source_points=np.asarray(source.points),
+            gt_target_points=np.asarray(target.points),
+            gt_valid=np.asarray(source.valid),
+            key=jax.random.PRNGKey(4),
+        )
+        rmse = np.asarray(res.trace.rmse)
+        assert np.isfinite(np.asarray(res.pose)).all()
+        assert rmse[-1] < rmse[0] * 0.5
+
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
