@@ -51,14 +51,20 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
-def bench_tpu(pairs, selection):
+def bench_tpu(pairs, selection, use_kd=False):
     """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
     (the ETH sweep's data-parallel axis, run on one chip). Returns
     seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
-    extension, headline) or RANDOM (reference-exact Bernoulli, parity)."""
+    extension, headline) or RANDOM (reference-exact Bernoulli, parity).
+    ``use_kd`` matches through the per-query k-d index (v3) instead of the
+    tile visited-list kernel; measured SLOWER in the 16-pair batched
+    program (7.3 vs 8.3 pairs/s, scripts/bench_ab_kd_log.txt — the batched
+    block gathers lose the contiguous-row advantage under vmap), so the
+    headline stays on the visited-list kernel."""
     import jax
 
     from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
     from icp_variants_tpu.pipeline import icp
     from icp_variants_tpu.pipeline.config import (
         ICPConfig, Metric, Minimizer,
@@ -78,16 +84,29 @@ def bench_tpu(pairs, selection):
             for (sp, sn, _, _) in pairs
         ]
     )
-    targets = icp.stack_clouds(
-        [
-            cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
-            for (_, _, tp, tn) in pairs
-        ]
-    )
+    target_clouds = [
+        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+        for (_, _, tp, tn) in pairs
+    ]
+    targets = icp.stack_clouds(target_clouds)
+    # One-time per-target k-d build (host), the FLANN buildIndex analog
+    # (NearestNeighbor.h:122-141) — amortized across the 50-iteration run
+    # exactly like the reference's.
+    kd_indexes = None
+    if use_kd:
+        kd_indexes = kdtree.stack_kd_indexes(
+            [
+                kdtree.build_kd_index(
+                    np.asarray(t.points), np.asarray(t.valid)
+                )
+                for t in target_clouds
+            ]
+        )
 
     def run(seed):
         res = icp.run_icp_batch(
-            cfg, sources, targets, key=jax.random.PRNGKey(seed)
+            cfg, sources, targets, key=jax.random.PRNGKey(seed),
+            kd_indexes=kd_indexes,
         )
         # device_get forces a real device->host transfer; plain
         # block_until_ready is unreliable over this environment's tunneled

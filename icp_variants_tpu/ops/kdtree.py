@@ -1,0 +1,293 @@
+"""Per-query exact 1-NN over a balanced k-d partition — the 'v3' matcher.
+
+TPU-native successor to the Morton-tile visited-list kernel for the FLANN
+kd-tree replacement (NearestNeighbor.h:104-314). The tile kernel computes
+every query tile against every target tile ANY of its 128 queries needs;
+measured against the per-query information floor that is ~95% wasted work
+(386M candidate distances/iter at ETH scale vs a ~20M floor). This module
+restores per-query granularity the TPU way:
+
+* The target cloud is partitioned ONCE per pair on the HOST by recursive
+  axis-median splits (``build_kd_index``) — equal-count blocks whose
+  axis-aligned boxes are DISJOINT by construction. (Morton equal-count
+  tiles have heavily overlapping AABBs, which makes per-query residual
+  bounds useless — measured 64% exactness-fallback rate vs ~0% here.
+  Host-side build matches the repo's load-time Morton ordering convention:
+  device sorts compile pathologically in this environment.)
+* Per iteration, each query ranks the block boxes by squared lower bound
+  with K argmin-extraction rounds (pure VPU ``argmin`` + masking — no
+  sort, no top_k), then gathers the K winners' point blocks and takes
+  exact direct-difference f32 distances over every candidate.
+* Exactness certificate: the (K+1)-th extraction minimum is the smallest
+  lower bound of any UNEXAMINED block. A query whose best found distance
+  does not beat that residual raises ``fail`` and is re-searched by the
+  caller's fallback (the visited-list kernel in per-query-bound mode —
+  ``knn.nn_search_pruned_v2``). Failures are data-dependent and
+  empirically ~0% at K=4.
+
+Layout notes (they ARE the design): TPU XLA gathers are row-issue-bound,
+so candidates move as ONE contiguous row per (query, block) —
+``block_pts`` rows hold a whole block's points coordinate-major
+([x...x, y...y, z...z]), letting the distance accumulation slice
+lane-major (N, K, cap) views with zero relayouts. Per-coordinate (N, M)
+broadcasting everywhere; a fused (N, M, 3) broadcast pads the minor dim
+to the 128-lane tile and was measured 10x slower.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel for padded block slots: finite in f32, squared distance ~1e18
+# still finite, never the argmin for any real query.
+LEAF_PAD = 1.0e9
+# Default extraction width (scripts/knn_v3_proto.py: ~0% fallback at 4
+# with far narrower candidate sets; one block is ~512-1024 points).
+K_DEFAULT = 4
+BLOCK_TARGET = 768  # points per block at full occupancy
+
+
+class KDIndex(NamedTuple):
+    """Balanced k-d partition of one target cloud (device arrays).
+
+    Blocks are equal-count (+-1 per split) with disjoint boxes. All shapes
+    depend only on the cloud CAPACITY, so one executable serves a whole
+    equal-capacity sweep.
+    """
+
+    block_pts: jax.Array    # (C, D*cap) f32 coordinate-major rows,
+                            # LEAF_PAD in padded slots
+    block_orig: jax.Array   # (C, cap) int32 original row ids, -1 padding
+    block_min: jax.Array    # (C, D) box mins (+inf for empty blocks)
+    block_max: jax.Array    # (C, D) box maxs (-inf for empty blocks)
+
+
+def kd_depth_for(capacity: int, block_target: int = BLOCK_TARGET) -> int:
+    """Split depth so blocks hold ~block_target points at full occupancy."""
+    depth = 1
+    while (capacity >> depth) > block_target:
+        depth += 1
+    return depth
+
+
+def kd_partition_np(points: np.ndarray, depth: int):
+    """Host-side recursive widest-axis median partition.
+
+    Returns ``(perm, blocks)``: ``points[perm]`` is block-grouped and
+    ``blocks`` lists each block's ``(start, count)`` into ``perm`` in tree
+    order — exact floor/ceil halves at every split (argpartition), so
+    block sizes differ by at most 1 per level (0 allowed when n < 2^depth).
+    """
+    n = len(points)
+    perm = np.arange(n)
+    nodes = [(0, n)]
+    for _ in range(depth):
+        nxt = []
+        for s, c in nodes:
+            h = c // 2
+            if c > 1:
+                seg = perm[s:s + c]
+                p = points[seg]
+                ax = int(np.argmax(p.max(0) - p.min(0)))
+                seg = seg[np.argpartition(p[:, ax], h)]
+                perm[s:s + c] = seg
+            nxt.append((s, h))
+            nxt.append((s + h, c - h))
+        nodes = nxt
+    return perm, nodes
+
+
+def build_kd_index(
+    points: np.ndarray,
+    valid: np.ndarray | None = None,
+    *,
+    block_target: int = BLOCK_TARGET,
+    capacity: int | None = None,
+) -> KDIndex:
+    """Build the k-d search index on the host (numpy) for one target cloud.
+
+    ``points`` is the (capacity, D) PADDED cloud array; ``valid`` masks the
+    real rows (defaults to finite-coordinate rows). All output shapes are
+    functions of ``capacity`` alone, so equal-capacity clouds share one
+    executable. The reference analog is the one-time FLANN buildIndex
+    (NearestNeighbor.h:122-141); D may be 3 (geometry) or 6 (color-ICP
+    features), matching FLANN's 3- and 6-dim trees.
+    """
+    points = np.asarray(points, np.float32)
+    if capacity is None:
+        capacity = len(points)
+    if valid is None:
+        valid = np.abs(points[:, :3]).max(axis=1) < 1.0e5
+    rows = np.flatnonzero(valid)
+    depth = kd_depth_for(capacity, block_target)
+    n_blocks = 1 << depth
+    cap = -(-capacity // n_blocks)  # ceil: static upper bound on block size
+    d = points.shape[1]
+
+    perm, blocks = kd_partition_np(points[rows], depth)
+    pts = np.full((n_blocks, cap, d), LEAF_PAD, np.float32)
+    block_orig = np.full((n_blocks, cap), -1, np.int32)
+    block_min = np.full((n_blocks, d), np.inf, np.float32)
+    block_max = np.full((n_blocks, d), -np.inf, np.float32)
+    for i, (s, c) in enumerate(blocks):
+        if c == 0:
+            continue
+        sel = rows[perm[s:s + c]]
+        pts[i, :c] = points[sel]
+        block_orig[i, :c] = sel
+        block_min[i] = pts[i, :c].min(0)
+        block_max[i] = pts[i, :c].max(0)
+    # Coordinate-major rows: [x_0..x_cap, y_0..y_cap, z_0..z_cap, ...]
+    block_pts = np.ascontiguousarray(
+        pts.transpose(0, 2, 1).reshape(n_blocks, d * cap))
+    return KDIndex(
+        block_pts=jnp.asarray(block_pts),
+        block_orig=jnp.asarray(block_orig),
+        block_min=jnp.asarray(block_min),
+        block_max=jnp.asarray(block_max),
+    )
+
+
+def stack_kd_indexes(indexes) -> KDIndex:
+    """Stack equal-shape KDIndexes along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *indexes)
+
+
+def _box_lb(q: jax.Array, bmin: jax.Array, bmax: jax.Array) -> jax.Array:
+    """Squared distance lower bound from each query to each box.
+
+    (N, D) x (M, D) -> (N, M), coordinate-at-a-time (see module docstring).
+    Boxes are built from the same f32 coordinates the exact distances use,
+    so the bound is honest to within one rounding step — absorbed by the
+    fail margin in nn_search_kd.
+    """
+    d = q.shape[1]
+    lb = None
+    for j in range(d):
+        gap = jnp.maximum(
+            jnp.maximum(bmin[None, :, j] - q[:, j:j + 1],
+                        q[:, j:j + 1] - bmax[None, :, j]),
+            0.0,
+        )
+        lb = gap * gap if lb is None else lb + gap * gap
+    return lb
+
+
+def _extract_min(w: jax.Array, k: int):
+    """k argmin-extraction rounds over axis 1 (no sort / top_k: device
+    sorts are a compile hazard here and k is tiny). Returns the selected
+    column ids (N, k) and the residual minimum after extraction (N,)."""
+    m = w.shape[1]
+    iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+    picks = []
+    for _ in range(k):
+        a = jnp.argmin(w, axis=1).astype(jnp.int32)
+        picks.append(a)
+        w = jnp.where(iota == a[:, None], jnp.inf, w)
+    return jnp.stack(picks, axis=1), jnp.min(w, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def nn_search_kd(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float | jax.Array,
+    *,
+    k: int = K_DEFAULT,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact-unless-flagged 1-NN: returns ``(orig_idx, dist2, fail)``.
+
+    ``fail[i]`` set means query i's certificate did not close (an
+    unexamined block could be closer than the best found) and the caller
+    must re-search it; for ``~fail`` rows the result is exact within
+    ``max_distance`` (over-threshold rows report idx -1, dist2 just above
+    the bound, matching nn_search_pruned_xla's contract).
+    """
+    nc, dcap = index.block_pts.shape
+    d = index.block_min.shape[1]
+    cap = dcap // d
+    k = min(k, nc)
+    q = queries[:, :d]
+    n = q.shape[0]
+
+    sel, resid = _extract_min(_box_lb(q, index.block_min, index.block_max), k)
+
+    # One contiguous row per (query, winning block); distances accumulate
+    # on lane-major (N, k, cap) slices of the coordinate-major rows.
+    cand = index.block_pts[sel]                      # (N, k, D*cap)
+    d2 = None
+    for j in range(d):
+        diff = cand[:, :, j * cap:(j + 1) * cap] - q[:, j, None, None]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    per_blk = jnp.min(d2, axis=2)                    # (N, k)
+    blk_pos = jnp.argmin(per_blk, axis=1)            # (N,)
+    d2s = jnp.min(per_blk, axis=1)
+    best_blk = jnp.take_along_axis(sel, blk_pos[:, None], axis=1)[:, 0]
+    slot = jnp.argmin(
+        jnp.take_along_axis(d2, blk_pos[:, None, None], axis=1)[:, 0, :],
+        axis=1,
+    )
+    orig = index.block_orig[best_blk, slot]
+
+    bound = jnp.float32(max_distance)
+    # Certificate with one-ulp slack: unexamined boxes must be strictly
+    # farther than both the found minimum and the threshold.
+    fail = resid <= jnp.minimum(d2s, bound) * (1.0 + 1e-6)
+
+    over = d2s > bound
+    out_bound = bound * (1.0 + 1e-6) + 1e-30
+    return (
+        jnp.where(over, -1, orig),
+        jnp.where(over, out_bound, d2s),
+        fail,
+    )
+
+
+def match_kd(
+    queries: jax.Array,
+    index: KDIndex,
+    fallback_index,
+    max_distance: float | jax.Array,
+    query_mask: jax.Array | None = None,
+    *,
+    k: int = K_DEFAULT,
+    interpret: bool = False,
+    impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Matching stage over the k-d index: per-query search + exactness
+    fallback. Same ``(indices, dist2, valid)`` contract as
+    ``knn.match_indexed`` (squared threshold, NearestNeighbor.h:182).
+
+    Queries whose certificate fails re-search through ``fallback_index``
+    (a ``knn.TargetIndex``): the visited-list kernel in per-query-bound
+    mode on TPU, the portable oracle elsewhere.
+    """
+    from icp_variants_tpu.ops import knn
+
+    idx3, d23, fail = nn_search_kd(queries, index, max_distance, k=k)
+    if impl is None:
+        impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    if impl == "v2":
+        tile_t = fallback_index.points_t3.shape[2]
+        idxf, d2f = knn.nn_search_pruned_v2(
+            queries, fallback_index, max_distance,
+            interpret=interpret, tile_t=tile_t,
+            per_query_bound=jnp.where(fail, bound_val, -1.0),
+            use_phase1=False,
+        )
+    else:
+        idxf, d2f = knn.nn_search_pruned_xla(
+            queries, fallback_index, max_distance
+        )
+    idx = jnp.where(fail, idxf, idx3)
+    d2 = jnp.where(fail, d2f, d23)
+    valid = (d2 <= max_distance) & (idx >= 0)
+    if query_mask is not None:
+        valid = valid & query_mask
+    return idx, d2, valid

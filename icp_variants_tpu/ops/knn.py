@@ -496,11 +496,14 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
     def kernel(
         count_ref,        # scalar prefetch: (nq_tiles,) int32, chunk counts
         count0_ref,       # scalar prefetch: (nq_tiles,) int32, phase-1 chunks
-        bound_ref,        # scalar prefetch: (1,) f32
         vlist_ref,        # (nq_tiles, 8, max_v) int32 in HBM, lb-ascending
         suflb_ref,        # (nq_tiles, 8, max_v) f32 in HBM: SUFFIX-MIN of lb
         t_ref,            # (n_tiles, 8, tile_t) in HBM
         q_ref,            # (tile_q, 8) VMEM block
+        binit_ref,        # (tile_q, 1) VMEM: per-query initial bound — the
+                          # search radius (a plain broadcast bound normally;
+                          # negative for already-resolved queries in the
+                          # per-query fallback mode, which freezes them out)
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
         vrow_ref,         # SMEM scratch (8, max_v)
@@ -514,7 +517,6 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
         i = pl.program_id(0)
         n_chunks = count_ref[i]
         n_phase1 = count0_ref[i]
-        bound = bound_ref[0]
 
         # Fetch this query tile's visited-tile ids + suffix bounds into SMEM.
         # Lists are stored 8-row-replicated so the HBM slices satisfy
@@ -524,7 +526,7 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
         lb_dma = pltpu.make_async_copy(suflb_ref.at[i], lbrow_ref, lb_sem)
         lb_dma.start()
 
-        dist_ref[:] = jnp.full_like(dist_ref, bound)
+        dist_ref[:] = binit_ref[:]
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
         row_dma.wait()
@@ -639,6 +641,10 @@ def _visit_lists(
     "stop when suffix > worst-best" rule is exact under ANY ordering.
     Padding slots carry suffix 1e30 (never started) and tile id 0 (a valid
     DMA target if a started chunk straddles the count boundary).
+
+    ``bound_val`` may be a scalar or a per-query-tile (nqt,) vector (the
+    per-query fallback mode passes each tile's worst unresolved radius;
+    negative values yield empty lists).
     """
     gap = jnp.maximum(
         jnp.maximum(
@@ -648,6 +654,9 @@ def _visit_lists(
         0.0,
     )
     lb = jnp.sum(gap * gap, axis=-1)               # (nqt, ntt)
+    bound_val = jnp.broadcast_to(
+        jnp.asarray(bound_val, jnp.float32), lb.shape[:1]
+    )[:, None]
     visited = lb <= bound_val
     nqt, ntt = visited.shape
 
@@ -685,7 +694,8 @@ def _visit_lists(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_q", "tile_t", "chunk")
+    jax.jit,
+    static_argnames=("interpret", "tile_q", "tile_t", "chunk", "use_phase1"),
 )
 def nn_search_pruned_v2(
     queries: jax.Array,
@@ -696,9 +706,19 @@ def nn_search_pruned_v2(
     tile_q: int = V2_TILE_Q,
     tile_t: int = V2_TILE_T,
     chunk: int = V2_CHUNK,
+    per_query_bound: jax.Array | None = None,
+    use_phase1: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Visited-list exact 1-NN. Same contract as :func:`nn_search_pruned`;
-    build the index with ``build_target_index(..., tile_t=V2_TILE_T)``."""
+    build the index with ``build_target_index(..., tile_t=V2_TILE_T)``.
+
+    ``per_query_bound`` (N,) switches the kernel to per-query search radii
+    (the k-d matcher's exactness fallback): a NEGATIVE radius freezes that
+    query out entirely (idx -1, dist = its radius); visit lists shrink to
+    each query tile's worst unresolved radius. Pair with
+    ``use_phase1=False`` so pruning starts from those radii immediately
+    instead of running the unconditional nearest-tile phase.
+    """
     nq = queries.shape[0]
     n_features = queries.shape[1]
     q = _pad_rows(_pad_features(queries), tile_q, 0.0)
@@ -706,12 +726,24 @@ def nn_search_pruned_v2(
     n_tiles = index.points.shape[0] // tile_t
     nq_tiles = q.shape[0] // tile_q
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    if per_query_bound is not None:
+        binit = jnp.pad(
+            jnp.asarray(per_query_bound, jnp.float32),
+            (0, q.shape[0] - nq),
+            constant_values=-1.0,
+        )
+        tile_bound = jnp.max(binit.reshape(nq_tiles, tile_q), axis=1)
+    else:
+        binit = jnp.full((q.shape[0],), bound_val, jnp.float32)
+        tile_bound = bound_val
 
     qtiles = q.reshape(nq_tiles, tile_q, FEATURE_PAD)
     vlist, suffix, counts, counts0 = _visit_lists(
         jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
-        index.bbox_min, index.bbox_max, bound_val,
+        index.bbox_min, index.bbox_max, tile_bound,
     )
+    if not use_phase1:
+        counts0 = jnp.zeros_like(counts0)
     max_v = ((n_tiles + 127) // 128) * 128
     vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
     lblist = jnp.pad(
@@ -726,13 +758,14 @@ def nn_search_pruned_v2(
     counts0 = (counts0 + (chunk - 1)) // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nq_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # vlist (DMA'd per q-tile)
             pl.BlockSpec(memory_space=pltpu.HBM),   # lblist (DMA'd per q-tile)
             pl.BlockSpec(memory_space=pltpu.HBM),   # target points (DMA'd per visited tile)
             pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -762,11 +795,11 @@ def nn_search_pruned_v2(
     )(
         counts,
         counts0,
-        jnp.asarray([bound_val], jnp.float32),
         vlist,
         lblist,
         index.points_t3,
         q,
+        binit[:, None],
     )
 
     sorted_idx = idx[:nq, 0]

@@ -6,22 +6,48 @@ the target image plane through the depth intrinsics, and the closest target
 point within a ``(2W+1)^2`` pixel window wins (W = 12 by default,
 NearestNeighbor.h:319), under the squared max-distance threshold.
 
-Instead of the reference's per-point OpenMP scan, the window walk is a
-``lax.fori_loop`` over BATCHES of the (2W+1)^2 static offsets: each step
-gathers ``offset_chunk`` whole window rows for every query at once (one
-(N, offset_chunk) gather + a lane-wise min), so the loop runs 2W+1 times
-rather than (2W+1)^2 — per-step gather/dispatch overhead amortizes across
-the window row. The target cloud must be image-shaped (width*height rows,
-invalid pixels masked), the reference's ``keepOriginalSize`` contract
-(NearestNeighbor.h:346-349).
+Layout is the design (same lesson as ops/kdtree.py): TPU XLA gathers are
+row-issue-bound, so per-query work must move as FEW, WIDE contiguous rows.
+The target image is re-tiled into ``B x B`` pixel blocks stored
+coordinate-major as single contiguous rows ([x...x, y...y, z...z] over the
+block's pixels); each query gathers only the ``nb x nb`` block neighborhood
+(3x3 for B=16, W=12) that covers its window — ~9 wide rows instead of 625
+pixel rows — and candidates outside the exact window are masked per pixel
+from their reconstructed coordinates. This replaced a row-of-window
+``lax.fori_loop`` formulation that spent ~355 ms/iter at 640x480 on gather
+issue overhead (scripts/bench_projective_log.txt).
+
+Queries are processed in fixed-size chunks (``lax.map``) so the
+(N, nb^2, 3B^2) candidate tensor stays bounded at full-resolution
+(307k-query) multires levels.
+
+Tie-breaking deviates from the reference's first-in-row-major-scan-order
+only for EXACTLY equal f32 distances of distinct pixels (the reference
+keeps the first strictly-better pixel, NearestNeighbor.h:385-404); the
+winner is still a true minimum.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
+# Finite pad for invalid/out-of-image pixels: squared distance ~1e18 stays
+# finite in f32 and never survives the threshold.
+PAD_COORD = 1.0e9
+BIG = 3.0e13
+BLOCK = 16          # pixels per block side
+CHUNK = 32768       # queries per lax.map step
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "width", "height", "window", "block", "chunk"
+    ),
+)
 def projective_match(
     query_points: jax.Array,      # (N, 3) transformed source points
     target_points: jax.Array,     # (W*H, 3) image-shaped target cloud
@@ -36,6 +62,8 @@ def projective_match(
     window: int = 12,
     max_distance: float | jax.Array = 0.1,
     query_mask: jax.Array | None = None,
+    block: int = BLOCK,
+    chunk: int = CHUNK,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Return ``(indices, dist2, valid)`` per query point.
 
@@ -44,38 +72,89 @@ def projective_match(
     pixels (385-404); the threshold compares squared distance (407).
     """
     n = query_points.shape[0]
-    x, y, z = query_points[:, 0], query_points[:, 1], query_points[:, 2]
-    safe_z = jnp.where(z == 0, 1.0, z)
-    u0 = jnp.round(x * fx / safe_z + cx).astype(jnp.int32)
-    v0 = jnp.round(y * fy / safe_z + cy).astype(jnp.int32)
-
-    big = jnp.asarray(3.0e13, jnp.float32)
+    b = block
+    b2 = b * b
     span = 2 * window + 1
-    dus = jnp.arange(-window, window + 1)  # one window ROW per loop step
+    nb = (span - 2) // b + 2          # blocks per axis covering any offset
+    wb = max(-(-width // b), nb)
+    hb = max(-(-height // b), nb)
 
-    def body(k, carry):
-        best_d2, best_idx = carry
-        dv = k - window
-        v = v0 + dv
-        u = u0[:, None] + dus[None, :]                      # (N, 2W+1)
-        in_image = (u >= 0) & (u < width) & ((v >= 0) & (v < height))[:, None]
-        lin = jnp.clip(v[:, None] * width + u, 0, width * height - 1)
-        tp = target_points[lin]                             # (N, 2W+1, 3)
-        ok = in_image & target_valid[lin]
-        d2 = jnp.sum((query_points[:, None, :] - tp) ** 2, axis=2)
-        d2 = jnp.where(ok, d2, big)
-        row_best = jnp.min(d2, axis=1)
-        row_arg = jnp.take_along_axis(
-            lin, jnp.argmin(d2, axis=1)[:, None], axis=1
-        )[:, 0]
-        better = row_best < best_d2
-        return (
-            jnp.where(better, row_best, best_d2),
-            jnp.where(better, row_arg, best_idx),
+    # --- target re-tiling: (HB*WB, 3*B^2) coordinate-major block rows ------
+    img = jnp.where(
+        target_valid[:, None], target_points, jnp.float32(PAD_COORD)
+    ).reshape(height, width, 3)
+    img = jnp.pad(
+        img,
+        ((0, hb * b - height), (0, wb * b - width), (0, 0)),
+        constant_values=PAD_COORD,
+    )
+    blocks = (
+        img.reshape(hb, b, wb, b, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(hb * wb, 3 * b2)
+    )
+
+    # Within-block pixel offsets for slot s (row-major): (s // b, s % b).
+    slot = jnp.arange(b2, dtype=jnp.int32)
+    sv, su = slot // b, slot % b
+
+    def one_chunk(q):
+        m = q.shape[0]
+        x, y, z = q[:, 0], q[:, 1], q[:, 2]
+        safe_z = jnp.where(z == 0, 1.0, z)
+        # Clip before the int cast: off-screen projections can overflow
+        # int32; the window mask rejects them either way.
+        u0 = jnp.round(
+            jnp.clip(x * fx / safe_z + cx, -1.0e6, 1.0e6)
+        ).astype(jnp.int32)
+        v0 = jnp.round(
+            jnp.clip(y * fy / safe_z + cy, -1.0e6, 1.0e6)
+        ).astype(jnp.int32)
+
+        c0 = jnp.clip((u0 - window) // b, 0, wb - nb)
+        r0 = jnp.clip((v0 - window) // b, 0, hb - nb)
+        offs = jnp.arange(nb, dtype=jnp.int32)
+        bids = (
+            (r0[:, None, None] + offs[:, None]) * wb
+            + (c0[:, None, None] + offs[None, :])
+        ).reshape(m, nb * nb)                           # (m, K)
+
+        cand = blocks[bids]                             # (m, K, 3*B^2) rows
+        d2 = None
+        for c in range(3):
+            diff = cand[:, :, c * b2:(c + 1) * b2] - q[:, c, None, None]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+
+        pv = (bids // wb)[:, :, None] * b + sv          # (m, K, B^2)
+        pu = (bids % wb)[:, :, None] * b + su
+        inwin = (
+            (jnp.abs(pu - u0[:, None, None]) <= window)
+            & (jnp.abs(pv - v0[:, None, None]) <= window)
+            & (pu < width)
+            & (pv < height)
         )
+        d2 = jnp.where(inwin, d2, jnp.float32(BIG)).reshape(m, -1)
 
-    init = (jnp.full((n,), big, jnp.float32), jnp.full((n,), -1, jnp.int32))
-    best_d2, best_idx = jax.lax.fori_loop(0, span, body, init)
+        a = jnp.argmin(d2, axis=1)
+        best_d2 = jnp.take_along_axis(d2, a[:, None], axis=1)[:, 0]
+        lin = (pv * width + pu).reshape(m, -1)
+        best_idx = jnp.where(
+            best_d2 < BIG,
+            jnp.take_along_axis(lin, a[:, None], axis=1)[:, 0],
+            -1,
+        )
+        return best_d2, best_idx
+
+    if n <= chunk:
+        best_d2, best_idx = one_chunk(query_points)
+    else:
+        pad = (-n) % chunk
+        qp = jnp.pad(query_points, ((0, pad), (0, 0)))
+        best_d2, best_idx = jax.lax.map(
+            one_chunk, qp.reshape(-1, chunk, 3)
+        )
+        best_d2 = best_d2.reshape(-1)[:n]
+        best_idx = best_idx.reshape(-1)[:n]
 
     valid = best_d2 <= max_distance
     if query_mask is not None:

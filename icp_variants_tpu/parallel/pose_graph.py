@@ -144,7 +144,6 @@ def refine_sharded(base_poses, graph: PoseGraph, mesh, *, n_iterations: int = 10
         mesh=mesh,
         in_specs=(P(), P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=P(),
-        check_vma=False,
     )
     return jax.jit(sharded)(
         jnp.asarray(base_poses, jnp.float32),

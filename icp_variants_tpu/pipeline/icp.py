@@ -26,7 +26,14 @@ import numpy as np
 from icp_variants_tpu.core import cloud as cloud_lib
 from icp_variants_tpu.core import se3
 from icp_variants_tpu.core.cloud import Cloud
-from icp_variants_tpu.ops import knn, projective, rejection, selection, weighting
+from icp_variants_tpu.ops import (
+    kdtree,
+    knn,
+    projective,
+    rejection,
+    selection,
+    weighting,
+)
 from icp_variants_tpu.pipeline import measure
 from icp_variants_tpu.pipeline.config import (
     ICPConfig,
@@ -123,6 +130,7 @@ def _iteration(
     run_benchmark: bool,
     axis_name: str | None = None,
     target_index: knn.TargetIndex | None = None,
+    kd_index: kdtree.KDIndex | None = None,
     stop_after: str | None = None,
 ):
     # With the point axis sharded, global row indices need the shard offset
@@ -225,13 +233,23 @@ def _iteration(
         )
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)
-        if target_index is not None:
+        if kd_index is not None and target_index is not None:
+            idx, _d2, valid = kdtree.match_kd(
+                q, kd_index, target_index, cfg.max_distance,
+                query_mask=sel_mask,
+            )
+        elif target_index is not None:
             idx, _d2, valid = knn.match_indexed(
                 q, target_index, cfg.max_distance, query_mask=sel_mask
             )
         else:
             t = knn.color_features(target.points, target.colors)
             idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
+    elif kd_index is not None and target_index is not None:
+        idx, _d2, valid = kdtree.match_kd(
+            src_pts, kd_index, target_index, cfg.max_distance,
+            query_mask=sel_mask,
+        )
     elif target_index is not None:
         idx, _d2, valid = knn.match_indexed(
             src_pts, target_index, cfg.max_distance, query_mask=sel_mask
@@ -312,6 +330,7 @@ def _run_icp_jit(
     gt_valid: jax.Array,
     run_benchmark: bool,
     stop_after: str | None = None,
+    kd_index: kdtree.KDIndex | None = None,
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
@@ -330,7 +349,8 @@ def _run_icp_jit(
         stride, k = per_iter
         new_pose, rec = _iteration(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
-            run_benchmark, target_index=target_index, stop_after=stop_after,
+            run_benchmark, target_index=target_index, kd_index=kd_index,
+            stop_after=stop_after,
         )
         return new_pose, rec
 
@@ -351,6 +371,7 @@ def run_icp(
     run_benchmark: bool = False,
     num_source_points: int | None = None,
     stop_after: str | None = None,
+    kd_index: kdtree.KDIndex | None = None,
 ) -> ICPResult:
     """Estimate the pose aligning ``source`` onto ``target``.
 
@@ -358,6 +379,11 @@ def run_icp(
     the convergence oracle passed explicitly: ``gt_source_points[i]`` pairs
     with ``gt_target_points[i]`` (see ConvergenceMeasure usage at
     main.cpp:110-124).
+
+    ``kd_index`` (a host-built ``kdtree.KDIndex`` over the target, or over
+    its color features under color-ICP) switches matching to the per-query
+    k-d path — ~20x fewer candidate distances at ETH scale, identical
+    results.
     """
     if init_pose is None:
         init_pose = jnp.eye(4, dtype=jnp.float32)
@@ -403,6 +429,7 @@ def run_icp(
         gtv,
         run_benchmark,
         stop_after=stop_after,
+        kd_index=kd_index,
     )
 
 
@@ -421,15 +448,17 @@ def _run_icp_batch_jit(
     gt_tgt: jax.Array,      # (B, G, 3)
     gt_valid: jax.Array,    # (B, G)
     run_benchmark: bool,
+    kd_indexes: kdtree.KDIndex | None = None,  # leading batch axis per leaf
 ) -> ICPResult:
-    def one(source, target, pose0, key, gs, gtv_, gv):
+    def one(source, target, pose0, key, gs, gtv_, gv, kd):
         return _run_icp_jit(
             cfg, num_iterations, source, target, pose0, strides, key,
-            gs, gtv_, gv, run_benchmark,
+            gs, gtv_, gv, run_benchmark, kd_index=kd,
         )
 
     return jax.vmap(one)(
-        sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid
+        sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid,
+        kd_indexes,
     )
 
 
@@ -445,6 +474,7 @@ def run_icp_batch(
     key=None,
     run_benchmark: bool = False,
     num_source_points: int | None = None,
+    kd_indexes: kdtree.KDIndex | None = None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
@@ -485,7 +515,7 @@ def run_icp_batch(
     return _run_icp_batch_jit(
         cfg, int(strides.shape[0]), sources, targets,
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
-        gt_src, gt_tgt, gtv, run_benchmark,
+        gt_src, gt_tgt, gtv, run_benchmark, kd_indexes=kd_indexes,
     )
 
 

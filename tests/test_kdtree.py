@@ -1,0 +1,241 @@
+"""Tests for the per-query k-d matcher (ops/kdtree.py) — the v3 search:
+host-built balanced partition, argmin-extraction ranking, gather distances,
+exactness certificate + per-query-bound fallback.
+
+Oracle: scipy cKDTree, same as the FLANN-replacement contract
+(NearestNeighbor.h:182 — exact within the squared threshold).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import cKDTree
+
+from icp_variants_tpu.ops import kdtree, knn
+
+
+def _clouds(n_t=20000, n_q=3000, seed=0, surface=False):
+    rng = np.random.default_rng(seed)
+    if surface:
+        xy = rng.uniform(-8, 8, (n_t, 2))
+        z = 0.5 * np.sin(xy[:, 0]) * np.cos(xy[:, 1])
+        t = np.column_stack([xy, z]).astype(np.float32)
+    else:
+        t = rng.uniform(-10, 10, (n_t, 3)).astype(np.float32)
+    q = (t[rng.integers(0, n_t, n_q)]
+         + rng.normal(0, 0.3, (n_q, 3))).astype(np.float32)
+    return q, t
+
+
+class TestPartition:
+    def test_equal_counts_and_valid_perm(self):
+        rng = np.random.default_rng(1)
+        pts = rng.normal(0, 1, (1000, 3)).astype(np.float32)
+        perm, blocks = kdtree.kd_partition_np(pts, 4)
+        assert sorted(perm.tolist()) == list(range(1000))
+        counts = [c for _, c in blocks]
+        assert len(counts) == 16
+        assert max(counts) - min(counts) <= 1
+        assert sum(counts) == 1000
+
+    def test_leaf_boxes_disjoint_along_split_structure(self):
+        """Sibling leaf boxes must not overlap (median splits): checked via
+        total pairwise box-intersection volume being ~zero."""
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+        idx = kdtree.build_kd_index(pts)
+        lo = np.asarray(idx.block_min)
+        hi = np.asarray(idx.block_max)
+        n = len(lo)
+        inter = 0.0
+        for i in range(n):
+            l = np.maximum(lo[i], lo[i + 1:])
+            h = np.minimum(hi[i], hi[i + 1:])
+            inter += np.prod(np.maximum(h - l, 0), axis=1).sum()
+        vol = np.prod(np.maximum(hi - lo, 0), axis=1).sum()
+        # Median-split boxes share only boundary planes (ties can create
+        # zero-thickness overlaps); any real overlap is a bug.
+        assert inter < 1e-3 * vol
+
+    def test_capacity_static_shapes(self):
+        """Two clouds with equal capacity but different valid counts must
+        produce identically-shaped indexes (one executable per sweep)."""
+        rng = np.random.default_rng(3)
+        pts = rng.normal(0, 1, (2048, 3)).astype(np.float32)
+        v1 = np.ones(2048, bool)
+        v2 = np.zeros(2048, bool)
+        v2[: 1000] = True
+        i1 = kdtree.build_kd_index(pts, v1)
+        i2 = kdtree.build_kd_index(pts, v2)
+        assert jax.tree.map(jnp.shape, i1) == jax.tree.map(jnp.shape, i2)
+
+    def test_empty_leaves_never_win(self):
+        rng = np.random.default_rng(4)
+        pts = rng.normal(0, 1, (2048, 3)).astype(np.float32)
+        valid = np.zeros(2048, bool)
+        valid[:100] = True
+        idx = kdtree.build_kd_index(pts, valid)
+        q = jnp.asarray(pts[:50])
+        i, d2, fail = kdtree.nn_search_kd(q, idx, 100.0)
+        i = np.asarray(i)
+        assert (np.asarray(d2)[~np.asarray(fail)] <= 100.0 * (1 + 1e-5)).all()
+        assert np.isin(i[i >= 0], np.flatnonzero(valid)).all()
+
+
+class TestSearch:
+    @pytest.mark.parametrize("surface", [False, True])
+    def test_exact_vs_scipy(self, surface):
+        q, t = _clouds(surface=surface)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        i, d2, fail = kdtree.nn_search_kd(jnp.asarray(q), idx, maxd)
+        i, d2, fail = np.asarray(i), np.asarray(d2), np.asarray(fail)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        ok = ~fail
+        w = ok & (d2ref <= maxd)
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        # over-threshold contract: idx -1, d2 just above the bound
+        over = ok & (d2ref > maxd)
+        assert (i[over] == -1).all()
+        assert (d2[over] > maxd).all()
+        assert fail.mean() < 0.05
+
+    def test_match_kd_exact_with_fallback(self):
+        """Forced-tiny K widths drive the fail rate up; the fallback must
+        keep the combined result exact for EVERY query."""
+        q, t = _clouds(seed=7)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        maxd = 4.0
+        i, d2, valid = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, maxd, k=1)
+        # sanity: the tiny widths really exercised the fallback
+        _, _, fail = kdtree.nn_search_kd(jnp.asarray(q), idx, maxd, k=1)
+        assert np.asarray(fail).mean() > 0.02
+        i, d2, valid = np.asarray(i), np.asarray(d2), np.asarray(valid)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        w = d2ref <= maxd
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        assert (valid == w).all()
+
+    def test_query_mask(self):
+        q, t = _clouds(n_q=500, seed=8)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        mask = np.zeros(500, bool)
+        mask[::2] = True
+        _, _, valid = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, 4.0, query_mask=jnp.asarray(mask))
+        assert not np.asarray(valid)[1::2].any()
+
+    def test_color_features_6dim(self):
+        rng = np.random.default_rng(9)
+        t = rng.uniform(-5, 5, (8000, 3)).astype(np.float32)
+        tc = rng.integers(0, 255, (8000, 4)).astype(np.float32)
+        q = t[:500] + rng.normal(0, 0.05, (500, 3)).astype(np.float32)
+        qc = tc[:500]
+        tf = np.asarray(knn.color_features(jnp.asarray(t), jnp.asarray(tc)))
+        qf = np.asarray(knn.color_features(jnp.asarray(q), jnp.asarray(qc)))
+        idx = kdtree.build_kd_index(tf)
+        tin = knn.build_target_index(jnp.asarray(tf), tile_t=knn.V2_TILE_T)
+        i, d2, valid = kdtree.match_kd(jnp.asarray(qf), idx, tin, 4.0)
+        dref, iref = cKDTree(tf).query(qf, k=1, workers=-1)
+        i, d2 = np.asarray(i), np.asarray(d2)
+        w = dref * dref <= 4.0
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+
+    def test_small_cloud(self):
+        """Clouds smaller than one full leaf level still work (bunny)."""
+        rng = np.random.default_rng(10)
+        t = rng.normal(0, 1, (300, 3)).astype(np.float32)
+        q = t + rng.normal(0, 0.01, t.shape).astype(np.float32)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        i, d2, valid = kdtree.match_kd(jnp.asarray(q), idx, tin, 1.0)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        i = np.asarray(i)
+        agree = (i == iref) | np.isclose(
+            np.asarray(d2), dref * dref, rtol=1e-5, atol=1e-6)
+        assert agree.all()
+
+
+class TestPipelineParity:
+    def test_run_icp_kd_matches_v2(self):
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        rng = np.random.default_rng(0)
+        xy = rng.uniform(-2, 2, (4000, 2))
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        tgt_np = np.column_stack([xy, z]).astype(np.float32)
+        ang = 0.08
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        src_np = tgt_np @ R.T + np.array([0.05, -0.03, 0.02], np.float32)
+
+        src = from_numpy(src_np, morton_order=True)
+        tgt = from_numpy(tgt_np, morton_order=True)
+        src = src._replace(
+            normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+        tgt = tgt._replace(
+            normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+        kd = kdtree.build_kd_index(
+            np.asarray(tgt.points), np.asarray(tgt.valid))
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=10)
+        kw = dict(
+            gt_source_points=tgt_np, gt_target_points=tgt_np,
+            gt_valid=np.ones(len(tgt_np), bool))
+        r1 = icp.run_icp(cfg, src, tgt, **kw)
+        r2 = icp.run_icp(cfg, src, tgt, kd_index=kd, **kw)
+        np.testing.assert_allclose(
+            np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-5)
+        assert np.array_equal(
+            np.asarray(r1.trace.num_matches), np.asarray(r2.trace.num_matches))
+
+    def test_run_icp_batch_kd(self):
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        rng = np.random.default_rng(1)
+        sources, targets, kds = [], [], []
+        for b in range(2):
+            t = rng.uniform(-3, 3, (2000, 3)).astype(np.float32)
+            ang = 0.05
+            R = np.array(
+                [[np.cos(ang), -np.sin(ang), 0],
+                 [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+            s = t @ R.T + 0.03
+            sources.append(from_numpy(s, morton_order=True))
+            tc = from_numpy(t, morton_order=True)
+            targets.append(tc)
+            kds.append(kdtree.build_kd_index(
+                np.asarray(tc.points), np.asarray(tc.valid)))
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_POINT, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8)
+        res = icp.run_icp_batch(
+            cfg, icp.stack_clouds(sources), icp.stack_clouds(targets),
+            kd_indexes=kdtree.stack_kd_indexes(kds))
+        rmse = np.asarray(res.trace.rmse)
+        assert np.isfinite(np.asarray(res.pose)).all()
+        assert rmse.shape[0] == 2
