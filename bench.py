@@ -51,16 +51,15 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
-def bench_tpu(pairs, selection, use_kd=False):
+def bench_tpu(pairs, selection, use_kd=True):
     """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
     (the ETH sweep's data-parallel axis, run on one chip). Returns
     seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
     extension, headline) or RANDOM (reference-exact Bernoulli, parity).
     ``use_kd`` matches through the per-query k-d index (v3) instead of the
-    tile visited-list kernel; measured SLOWER in the 16-pair batched
-    program (7.3 vs 8.3 pairs/s, scripts/bench_ab_kd_log.txt — the batched
-    block gathers lose the contiguous-row advantage under vmap), so the
-    headline stays on the visited-list kernel."""
+    tile visited-list kernel alone: 10.6 vs 8.3 pairs/s once the block
+    gathers lower FLAT under the pair vmap and the exactness fallback
+    hides behind a batch-global cond (scripts/bench_ab_kd_log.txt)."""
     import jax
 
     from icp_variants_tpu.core import cloud as cloud_lib

@@ -143,31 +143,7 @@ class ETHDataLoader(DataLoader):
         from icp_variants_tpu.data import pcd_io
 
         path = os.path.join(self.data_root, self.data_name, pcd_name)
-        pts = pcd_io.read_pcd(path)
-        normals = None
-        if self.estimate_normals:
-            import jax.numpy as jnp
-
-            from icp_variants_tpu.ops import normals as normals_ops
-
-            finite = np.isfinite(pts).all(axis=1)
-            if len(pts) >= 20_000:
-                # ETH-scale clouds: Morton-banded exact k-NN (tens of ms)
-                # instead of the dense N^2 sweep (~4.5 s at 365k points).
-                normals = np.asarray(
-                    normals_ops.estimate_normals_knn_fast(
-                        pts, finite, k=self.normal_k
-                    )
-                )
-            else:
-                normals = np.asarray(
-                    normals_ops.estimate_normals_knn(
-                        jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
-                    )
-                )
-        return cloud_lib.from_numpy(
-            pts, normals=normals, capacity=self.capacity, morton_order=True
-        )
+        return self._cloud_from_points(pcd_io.read_pcd(path))
 
     def point_counts(self, max_pairs: int | None = None) -> np.ndarray:
         """(n_pairs, 2) point counts of every (source, target) pair, from the
@@ -183,16 +159,79 @@ class ETHDataLoader(DataLoader):
                 out[i, c] = pcd_io.read_pcd_point_count(path)
         return out
 
+    def _gt_pose(self, index: int) -> np.ndarray:
+        row = self.rows[index + 1]
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :4] = np.asarray(
+            [float(x) for x in row[4:16]], np.float32
+        ).reshape(3, 4)
+        return pose
+
+    def _cloud_from_points(self, pts: np.ndarray) -> Cloud:
+        normals = None
+        if self.estimate_normals:
+            import jax.numpy as jnp
+
+            from icp_variants_tpu.ops import normals as normals_ops
+
+            finite = np.isfinite(pts).all(axis=1)
+            if len(pts) >= 20_000:
+                normals = np.asarray(
+                    normals_ops.estimate_normals_knn_fast(
+                        pts, finite, k=self.normal_k
+                    )
+                )
+            else:
+                normals = np.asarray(
+                    normals_ops.estimate_normals_knn(
+                        jnp.asarray(pts), jnp.asarray(finite), k=self.normal_k
+                    )
+                )
+        return cloud_lib.from_numpy(
+            pts, normals=normals, capacity=self.capacity, morton_order=True
+        )
+
     def get_item(self, index: int) -> Sample:
         if index >= self.get_length():
             raise IndexError(
                 f"index {index} out of range, only {self.get_length()} samples"
             )
         row = self.rows[index + 1]
-        pose = np.eye(4, dtype=np.float32)
-        pose[:3, :4] = np.asarray([float(x) for x in row[4:16]], np.float32).reshape(3, 4)
         return Sample(
             source=self._load_cloud(row[1]),
             target=self._load_cloud(row[2]),
-            pose=pose,
+            pose=self._gt_pose(index),
         )
+
+    def get_items(self, indices) -> list[Sample]:
+        """Load a BATCH of pairs, parsing all 2*B .pcd files concurrently
+        through the native thread pool (``pcd_io.read_pcd_batch``) — the
+        prefetch-friendly bulk path the batched ETH sweep uses. Results
+        match per-index :meth:`get_item` exactly."""
+        from icp_variants_tpu.data import pcd_io
+
+        indices = list(indices)
+        for i in indices:
+            if i >= self.get_length():
+                raise IndexError(
+                    f"index {i} out of range, only {self.get_length()} samples"
+                )
+        paths = []
+        for i in indices:
+            row = self.rows[i + 1]
+            for name in (row[1], row[2]):
+                paths.append(
+                    os.path.join(self.data_root, self.data_name, name)
+                )
+        clouds = [
+            self._cloud_from_points(pts)
+            for pts in pcd_io.read_pcd_batch(paths)
+        ]
+        return [
+            Sample(
+                source=clouds[2 * b],
+                target=clouds[2 * b + 1],
+                pose=self._gt_pose(i),
+            )
+            for b, i in enumerate(indices)
+        ]

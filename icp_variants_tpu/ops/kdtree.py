@@ -158,6 +158,35 @@ def stack_kd_indexes(indexes) -> KDIndex:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *indexes)
 
 
+@jax.custom_batching.custom_vmap
+def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """``table[ids]``: (R, W) x (N, K) -> (N, K, W) contiguous-row gather.
+
+    The custom batch rule keeps the gather FLAT under ``vmap`` (one global
+    row id space with per-pair offsets) instead of XLA's batch_dims=1
+    lowering, which costs ~35% more on TPU at bench shapes
+    (scripts/kd_batch_probe_log.txt: 33.8 vs 25.0 ms over 16 pairs).
+    """
+    return table[ids]
+
+
+@_gather_rows.def_vmap
+def _gather_rows_vmap(axis_size, in_batched, table, ids):
+    t_b, i_b = in_batched
+    if not i_b:
+        ids = jnp.broadcast_to(ids, (axis_size,) + ids.shape)
+    if t_b:
+        rows = table.shape[1]
+        flat = table.reshape(axis_size * rows, table.shape[2])
+        offs = (jnp.arange(axis_size, dtype=ids.dtype) * rows).reshape(
+            (axis_size,) + (1,) * (ids.ndim - 1)
+        )
+        out = flat[ids + offs]
+    else:
+        out = table[ids]
+    return out, True
+
+
 def _box_lb(q: jax.Array, bmin: jax.Array, bmax: jax.Array) -> jax.Array:
     """Squared distance lower bound from each query to each box.
 
@@ -198,7 +227,7 @@ def nn_search_kd(
     index: KDIndex,
     max_distance: float | jax.Array,
     *,
-    k: int = K_DEFAULT,
+    k: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact-unless-flagged 1-NN: returns ``(orig_idx, dist2, fail)``.
 
@@ -211,7 +240,7 @@ def nn_search_kd(
     nc, dcap = index.block_pts.shape
     d = index.block_min.shape[1]
     cap = dcap // d
-    k = min(k, nc)
+    k = min(K_DEFAULT if k is None else k, nc)
     q = queries[:, :d]
     n = q.shape[0]
 
@@ -219,7 +248,7 @@ def nn_search_kd(
 
     # One contiguous row per (query, winning block); distances accumulate
     # on lane-major (N, k, cap) slices of the coordinate-major rows.
-    cand = index.block_pts[sel]                      # (N, k, D*cap)
+    cand = _gather_rows(index.block_pts, sel)        # (N, k, D*cap)
     d2 = None
     for j in range(d):
         diff = cand[:, :, j * cap:(j + 1) * cap] - q[:, j, None, None]
@@ -248,6 +277,80 @@ def nn_search_kd(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _make_fallback(impl: str, max_distance: float, tile_t: int, interpret: bool):
+    """Build (and cache) the certificate-failure fallback searcher.
+
+    Constructed OUTSIDE any trace (a ``custom_vmap`` object created inside
+    a traced scan body leaks tracers into its staged jaxpr — "No constant
+    handler" at lowering) and cached on the static config so repeated
+    iterations reuse one object. The returned callable runs the search
+    behind ``lax.cond(any(radii >= 0), ...)``; its batch rule keeps the
+    predicate global across the vmapped pair axis, so a failure-free batch
+    skips the kernel entirely instead of lowering to a select that always
+    executes it.
+    """
+    from icp_variants_tpu.ops import knn
+
+    # Host-side (numpy) arithmetic: jnp constants created here would become
+    # tracers when this builder first runs inside a traced scan body.
+    bound_val = float(
+        np.float32(max_distance) * np.float32(1.0 + 1e-6) + np.float32(1e-30)
+    )
+
+    if impl == "v2":
+
+        def run_one(q, radii, fb):
+            return knn.nn_search_pruned_v2(
+                q, fb, max_distance, interpret=interpret, tile_t=tile_t,
+                per_query_bound=radii, use_phase1=False,
+            )
+    else:
+
+        def run_one(q, radii, fb):
+            return knn.nn_search_pruned_xla(q, fb, max_distance)
+
+    def fallback(q, radii, fb):
+        def run(args):
+            return run_one(*args)
+
+        def skip(args):
+            n = args[0].shape[0]
+            return (
+                jnp.full((n,), -1, jnp.int32),
+                jnp.full((n,), bound_val, jnp.float32),
+            )
+
+        return jax.lax.cond(jnp.any(radii >= 0), run, skip, (q, radii, fb))
+
+    fallback_vm = jax.custom_batching.custom_vmap(fallback)
+
+    @fallback_vm.def_vmap
+    def _rule(axis_size, in_batched, q, radii, fb):
+        q_b, r_b = in_batched[0], in_batched[1]
+        fb_axes = jax.tree.map(lambda b: 0 if b else None, in_batched[2])
+
+        def run(args):
+            return jax.vmap(
+                run_one,
+                in_axes=(0 if q_b else None, 0 if r_b else None, fb_axes),
+            )(*args)
+
+        def skip(args):
+            n = args[0].shape[-2]
+            return (
+                jnp.full((axis_size, n), -1, jnp.int32),
+                jnp.full((axis_size, n), bound_val, jnp.float32),
+            )
+
+        return (
+            jax.lax.cond(jnp.any(radii >= 0), run, skip, (q, radii, fb)),
+            (True, True),
+        )
+
+    return fallback_vm
+
+
 def match_kd(
     queries: jax.Array,
     index: KDIndex,
@@ -255,7 +358,7 @@ def match_kd(
     max_distance: float | jax.Array,
     query_mask: jax.Array | None = None,
     *,
-    k: int = K_DEFAULT,
+    k: int | None = None,
     interpret: bool = False,
     impl: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -265,7 +368,12 @@ def match_kd(
 
     Queries whose certificate fails re-search through ``fallback_index``
     (a ``knn.TargetIndex``): the visited-list kernel in per-query-bound
-    mode on TPU, the portable oracle elsewhere.
+    mode on TPU, the portable oracle elsewhere. The whole fallback sits
+    behind a ``lax.cond`` on ANY certificate failing — empirically ~0% at
+    the default width, so its cost is one reduction per iteration; the
+    ``custom_vmap`` rule keeps the predicate batch-GLOBAL under the
+    batched runner's vmap (a per-pair cond would lower to a select that
+    executes both branches every iteration).
     """
     from icp_variants_tpu.ops import knn
 
@@ -273,18 +381,13 @@ def match_kd(
     if impl is None:
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
-    if impl == "v2":
-        tile_t = fallback_index.points_t3.shape[2]
-        idxf, d2f = knn.nn_search_pruned_v2(
-            queries, fallback_index, max_distance,
-            interpret=interpret, tile_t=tile_t,
-            per_query_bound=jnp.where(fail, bound_val, -1.0),
-            use_phase1=False,
-        )
-    else:
-        idxf, d2f = knn.nn_search_pruned_xla(
-            queries, fallback_index, max_distance
-        )
+
+    tile_t = fallback_index.points_t3.shape[2]
+    fallback_vm = _make_fallback(
+        impl, float(max_distance), tile_t, interpret
+    )
+    radii = jnp.where(fail, bound_val, -1.0)
+    idxf, d2f = fallback_vm(queries, radii, fallback_index)
     idx = jnp.where(fail, idxf, idx3)
     d2 = jnp.where(fail, d2f, d23)
     valid = (d2 <= max_distance) & (idx >= 0)

@@ -31,10 +31,15 @@ def _load() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "icpio.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
             try:
                 subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    ["make", "-s", "-B"], cwd=_NATIVE_DIR, check=True,
                     capture_output=True, timeout=120,
                 )
             except Exception:
@@ -52,6 +57,16 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ]
+            if hasattr(lib, "icpio_parse_files_f32"):
+                lib.icpio_parse_files_f32.restype = ctypes.c_int64
+                lib.icpio_parse_files_f32.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64, ctypes.c_int64,
+                ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -86,3 +101,39 @@ def parse_floats(
     if n < 0:
         raise IOError(f"icpio failed to read {path}")
     return out[:n]
+
+
+def parse_floats_f32_batch(
+    specs: list[tuple[str, int, int]], n_threads: int = 0
+) -> list[np.ndarray] | None:
+    """Parse many files CONCURRENTLY through the native thread pool.
+
+    ``specs`` is ``[(path, byte_offset, max_count), ...]``; returns one f32
+    array per file (the data-loader prefetch path — a batched ETH sweep
+    hands all 2*B .pcd bodies of a batch to the pool at once). Returns None
+    when the native library is unavailable; raises on any per-file I/O
+    error, like :func:`parse_floats`.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "icpio_parse_files_f32"):
+        return None
+    n = len(specs)
+    if n == 0:
+        return []
+    outs = [np.empty(mc, np.float32) for (_, _, mc) in specs]
+    paths = (ctypes.c_char_p * n)(*[p.encode() for (p, _, _) in specs])
+    offsets = (ctypes.c_int64 * n)(*[o for (_, o, _) in specs])
+    max_counts = (ctypes.c_int64 * n)(*[mc for (_, _, mc) in specs])
+    counts = (ctypes.c_int64 * n)()
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in outs]
+    )
+    lib.icpio_parse_files_f32(
+        paths, offsets, ptrs, max_counts, counts, n, n_threads
+    )
+    results = []
+    for i, a in enumerate(outs):
+        if counts[i] < 0:
+            raise IOError(f"icpio failed to read {specs[i][0]}")
+        results.append(a[: counts[i]])
+    return results

@@ -131,9 +131,17 @@ def align_eth_batch(
         capacity = int(-(-int(counts.max()) // 512) * 512)
         loader.capacity = capacity
 
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        samples = [loader.get_item(i) for i in idxs]
+    # Batches load on a background worker (native threaded .pcd parsing)
+    # while the previous batch's ICP program runs on device.
+    from icp_variants_tpu.runtime.prefetch import Prefetcher
+
+    batch_indices = [
+        list(range(start, min(start + batch_size, n)))
+        for start in range(0, n, batch_size)
+    ]
+    prefetched = Prefetcher(batch_indices, loader.get_items, depth=1)
+    for idxs, samples in zip(batch_indices, prefetched):
+        start = idxs[0]
         sources, originals, gt_valids, perturbations = [], [], [], []
         for s in samples:
             scaled = scale_pose(s.pose, pose_scaling)

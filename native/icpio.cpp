@@ -10,10 +10,13 @@
 // Build: `make` in this directory (produces libicpio.so), or let
 // icp_variants_tpu.runtime.native build it on first use.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -95,6 +98,43 @@ int64_t icpio_parse_floats_f32(
   }
   free(buf);
   return n;
+}
+
+// Threaded batch scan: parse `n_files` files concurrently (the data-loader
+// prefetch path — an ETH sweep batch is 2*B .pcd files whose ASCII bodies
+// dominate load time; the reference loads them serially through PCL,
+// ETHDataLoader.h:66-98). Work is pulled from an atomic counter by
+// min(n_threads, n_files) workers; each file writes its own disjoint
+// output buffer, `counts[i]` gets the per-file parse count (or -1 on I/O
+// error). Returns the number of files that parsed successfully.
+int64_t icpio_parse_files_f32(
+    const char* const* paths, const int64_t* offsets, float* const* outs,
+    const int64_t* max_counts, int64_t* counts, int64_t n_files,
+    int64_t n_threads) {
+  if (n_files <= 0) return 0;
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int64_t)hw : 4;
+  }
+  if (n_threads > n_files) n_threads = n_files;
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      counts[i] =
+          icpio_parse_floats_f32(paths[i], offsets[i], outs[i], max_counts[i]);
+      if (counts[i] >= 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int64_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return ok.load();
 }
 
 }  // extern "C"

@@ -294,3 +294,33 @@ class TestETHBatch:
             ]))
 
         assert traj_err(refined) < 0.6 * traj_err(odometry)
+
+
+class TestBatchLoading:
+    def test_get_items_matches_get_item(self, tmp_path):
+        from icp_variants_tpu.data.loaders import ETHDataLoader
+
+        csv_path = make_eth_sequence(tmp_path, n_pairs=3)
+        loader = ETHDataLoader(csv_path, capacity=512)
+        batch = loader.get_items([0, 2])
+        for sample, i in zip(batch, [0, 2]):
+            ref = loader.get_item(i)
+            np.testing.assert_array_equal(
+                np.asarray(sample.source.points), np.asarray(ref.source.points)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sample.target.points), np.asarray(ref.target.points)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sample.source.normals),
+                np.asarray(ref.source.normals),
+            )
+            np.testing.assert_array_equal(sample.pose, ref.pose)
+
+    def test_get_items_bad_index(self, tmp_path):
+        from icp_variants_tpu.data.loaders import ETHDataLoader
+
+        csv_path = make_eth_sequence(tmp_path, n_pairs=2)
+        loader = ETHDataLoader(csv_path, capacity=512)
+        with pytest.raises(IndexError):
+            loader.get_items([0, 5])
