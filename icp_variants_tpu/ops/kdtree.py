@@ -315,10 +315,13 @@ def _make_fallback(impl: str, max_distance: float, tile_t: int, interpret: bool)
             return run_one(*args)
 
         def skip(args):
-            n = args[0].shape[0]
+            # Derive from the operand (not fresh constants) so the outputs
+            # carry the same varying-manual-axes as the run branch under
+            # shard_map; values are placeholders (unused for ~fail rows).
+            zero = args[1] * 0.0
             return (
-                jnp.full((n,), -1, jnp.int32),
-                jnp.full((n,), bound_val, jnp.float32),
+                zero.astype(jnp.int32) - 1,
+                zero + bound_val,
             )
 
         return jax.lax.cond(jnp.any(radii >= 0), run, skip, (q, radii, fb))
@@ -338,9 +341,12 @@ def _make_fallback(impl: str, max_distance: float, tile_t: int, interpret: bool)
 
         def skip(args):
             n = args[0].shape[-2]
+            zero = jnp.zeros((axis_size, n), jnp.float32) + jnp.sum(
+                args[1] * 0.0
+            )
             return (
-                jnp.full((axis_size, n), -1, jnp.int32),
-                jnp.full((axis_size, n), bound_val, jnp.float32),
+                zero.astype(jnp.int32) - 1,
+                zero + bound_val,
             )
 
         return (

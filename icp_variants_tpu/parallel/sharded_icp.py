@@ -141,6 +141,7 @@ def run_icp_batch_sharded(
     key=None,
     run_benchmark: bool = False,
     num_source_points: int | None = None,
+    kd_indexes=None,         # kdtree.KDIndex, leading batch axis per leaf
 ) -> icp.ICPResult:
     """The FULL ICP driver (multires stride schedule, per-iteration trace,
     benchmark error — everything ``run_icp_batch`` does) distributed over a
@@ -150,6 +151,11 @@ def run_icp_batch_sharded(
     Results are bitwise-independent of the mesh layout up to float reduction
     order: matching runs per query shard against the replicated pruned
     index; solver and error reductions psum over ``points``.
+
+    ``kd_indexes`` (host-built per-target ``kdtree.KDIndex``, stacked over
+    the batch) switches matching to the per-query k-d path, sharded over
+    ``pairs`` and replicated over ``points`` exactly like the target — each
+    query shard searches the full index, so results are layout-independent.
     """
     has_pairs = PAIRS_AXIS in mesh.shape
     has_points = POINTS_AXIS in mesh.shape
@@ -199,11 +205,16 @@ def run_icp_batch_sharded(
             gtv = jnp.pad(gtv, ((0, 0), (0, pad)))
 
     spec_src, spec_tgt, spec_pair = _specs(has_pairs, has_points)
-    runner = _sharded_runner(cfg, mesh, run_benchmark)
+    runner = _sharded_runner(cfg, mesh, run_benchmark, kd_indexes is not None)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    kd_leaves = (
+        tuple(place(x, spec_tgt) for x in jax.tree.leaves(kd_indexes))
+        if kd_indexes is not None
+        else ()
+    )
     return runner(
         place(sources.points, spec_src), place(sources.normals, spec_src),
         place(sources.colors, spec_src), place(sources.valid, spec_src),
@@ -212,6 +223,7 @@ def run_icp_batch_sharded(
         place(gt_src, spec_src), place(gt_tgt, spec_src), place(gtv, spec_src),
         place(init_poses, spec_pair), place(keys, spec_pair),
         strides,
+        *kd_leaves,
     )
 
 
@@ -222,24 +234,29 @@ def _specs(has_pairs: bool, has_points: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool):
+def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
     """Jitted full-scan runner for (cfg, mesh); cached so repeated sweeps
     reuse one executable per shape set."""
+    from icp_variants_tpu.ops import kdtree
+
     has_pairs = PAIRS_AXIS in mesh.shape
     has_points = POINTS_AXIS in mesh.shape
     axis_name = POINTS_AXIS if has_points else None
     spec_src, spec_tgt, spec_pair = _specs(has_pairs, has_points)
+    n_kd_leaves = len(kdtree.KDIndex._fields) if has_kd else 0
 
     def local(
         sp, sn, sc, sv, tp, tn, tc, tv,
-        gs, gt_, gv, poses0, keys, strides,
+        gs, gt_, gv, poses0, keys, strides, *kd_leaves,
     ):
         n_iter = strides.shape[0]
 
-        def one(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, pose0, key):
+        def one(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, pose0, key,
+                *kd_leaves):
             source = Cloud(points=sp, normals=sn, colors=sc, valid=sv)
             target = Cloud(points=tp, normals=tn, colors=tc, valid=tv)
             index = _build_index(cfg, tp, tc)
+            kd = kdtree.KDIndex(*kd_leaves) if kd_leaves else None
             ks = jax.random.split(key, n_iter)
 
             def body(pose, per):
@@ -247,6 +264,7 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool):
                 return icp._iteration(
                     cfg, source, target, pose, stride, k, gs, gt_, gv,
                     run_benchmark, axis_name=axis_name, target_index=index,
+                    kd_index=kd,
                 )
 
             final, trace = jax.lax.scan(body, pose0, (strides, ks))
@@ -254,8 +272,9 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool):
 
         return jax.vmap(
             one,
-            in_axes=(0,) * 13,
-        )(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, poses0, keys)
+            in_axes=(0,) * (13 + n_kd_leaves),
+        )(sp, sn, sc, sv, tp, tn, tc, tv, gs, gt_, gv, poses0, keys,
+          *kd_leaves)
 
     sharded = jax.shard_map(
         local,
@@ -266,7 +285,7 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool):
             spec_src, spec_src, spec_src,
             spec_pair, spec_pair,
             P(),
-        ),
+        ) + (spec_tgt,) * n_kd_leaves,
         out_specs=icp.ICPResult(
             pose=spec_pair,
             trace=icp.ICPTrace(
@@ -292,6 +311,10 @@ def run_icp_sharded(
     for k in ("gt_source_points", "gt_target_points", "gt_valid"):
         if kwargs.get(k) is not None:
             kwargs[k] = jnp.asarray(kwargs[k])[None]
+    if kwargs.get("kd_index") is not None:
+        kwargs["kd_indexes"] = jax.tree.map(
+            lambda x: x[None], kwargs.pop("kd_index")
+        )
     init_poses = None if init_pose is None else jnp.asarray(init_pose)[None]
     res = run_icp_batch_sharded(
         cfg, batch_src, batch_tgt, mesh, init_poses, **kwargs

@@ -221,6 +221,54 @@ class TestFullShardedRun:
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
-        r1 = sharded_icp._sharded_runner(cfg, mesh, False)
-        r2 = sharded_icp._sharded_runner(cfg, mesh, False)
+        r1 = sharded_icp._sharded_runner(cfg, mesh, False, False)
+        r2 = sharded_icp._sharded_runner(cfg, mesh, False, False)
         assert r1 is r2
+
+
+class TestShardedKd:
+    def test_kd_sharded_matches_single_device(self, mesh):
+        """The kd (v3) matcher through the sharded full scan: pose and trace
+        parity with single-device run_icp_batch using the same kd indexes."""
+        from icp_variants_tpu.ops import kdtree
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=5,
+        )
+        n_pairs, cap = 2, 2048
+        arrays = _batch(n_pairs, cap, seed=3)
+        sources = Cloud(
+            points=jnp.asarray(arrays[0]), normals=jnp.asarray(arrays[1]),
+            colors=jnp.asarray(arrays[2]), valid=jnp.asarray(arrays[3]),
+        )
+        targets = Cloud(
+            points=jnp.asarray(arrays[4]), normals=jnp.asarray(arrays[5]),
+            colors=jnp.asarray(arrays[6]), valid=jnp.asarray(arrays[7]),
+        )
+        kds = kdtree.stack_kd_indexes([
+            kdtree.build_kd_index(arrays[4][b], arrays[7][b])
+            for b in range(n_pairs)
+        ])
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0), kd_indexes=kds,
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0), kd_indexes=kds,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.trace.num_matches),
+            np.asarray(res_ref.trace.num_matches),
+        )
