@@ -108,6 +108,9 @@ def register(
         gt_valid=gt_valid,
         key=jax.random.PRNGKey(seed),
         run_benchmark=run_benchmark,
+        # Large targets match through the per-query kd path (the bench
+        # headline's production matcher); None for small/projective runs.
+        kd_index=icp_mod.build_kd_for(config, target),
     )
     return RegistrationResult(
         pose=np.asarray(jax.device_get(res.pose)),

@@ -522,3 +522,32 @@ def run_icp_batch(
 def stack_clouds(clouds) -> Cloud:
     """Stack equal-capacity Clouds along a new leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+
+
+# Below this size the kd build + extra program outweigh the candidate
+# savings (the visited-list kernel already prunes well on small clouds).
+KD_MIN_POINTS = 20_000
+
+
+def build_kd_for(
+    cfg: ICPConfig, target: Cloud, min_points: int = KD_MIN_POINTS
+) -> kdtree.KDIndex | None:
+    """Host-side kd-index build for the production matching path.
+
+    Returns a ``kdtree.KDIndex`` over the target (or its 6-dim color
+    features under color-ICP) when k-NN matching is configured and the
+    cloud is large enough to benefit; ``None`` otherwise. The reference
+    analog is the one-time FLANN buildIndex (NearestNeighbor.h:122-141).
+    """
+    if cfg.matching != Matching.KNN:
+        return None
+    valid = np.asarray(jax.device_get(target.valid))
+    if int(valid.sum()) < min_points:
+        return None
+    if cfg.color_icp:
+        feats = np.asarray(
+            jax.device_get(knn.color_features(target.points, target.colors))
+        )
+    else:
+        feats = np.asarray(jax.device_get(target.points))
+    return kdtree.build_kd_index(feats, valid)

@@ -215,6 +215,7 @@ def profile_fused_stages(
     key=None,
     repetitions: int = 3,
     run_benchmark: bool = False,
+    kd_index=None,
 ) -> StageTimes:
     """Per-stage timing of the REAL fused scan (TimeMeasure.h:20-60
     semantics inside one compiled program).
@@ -232,7 +233,7 @@ def profile_fused_stages(
     def run_variant(stage):
         res = icp_mod.run_icp(
             cfg, source, target, key=key, run_benchmark=run_benchmark,
-            stop_after=stage,
+            stop_after=stage, kd_index=kd_index,
         )
         # device_get: block_until_ready returns early over tunneled backends.
         jax.device_get(res.trace.rmse)
@@ -277,13 +278,15 @@ def kernel_efficiency(
     matching_time: float,
     solver_time: float,
     key=None,
+    kd_index=None,
 ) -> str:
     """Achieved-FLOPs/bandwidth estimate for the two flagship kernels
-    (BASELINE.json "kernel efficiency" row): the visited-list k-NN matcher
-    and the JTJ/normal-equation accumulation.
+    (BASELINE.json "kernel efficiency" row): the matcher (visited-list
+    kernel, or the kd block search when ``kd_index`` is given) and the
+    JTJ/normal-equation accumulation.
 
-    Work counts come from the REAL visit lists of iteration 0 (device
-    computed); times from :func:`profile_fused_stages`.
+    Work counts come from the REAL visit lists / selected blocks of
+    iteration 0 (device computed); times from :func:`profile_fused_stages`.
     """
     from icp_variants_tpu.pipeline import icp as icp_mod
 
@@ -314,23 +317,45 @@ def kernel_efficiency(
     anchor = q[jnp.argmax(sel_mask)]
     q = jnp.where(sel_mask[:, None], q, anchor)
 
-    tile_t = knn.V2_TILE_T
-    index = knn.build_target_index(target.points, tile_t=tile_t)
-    qp = knn._pad_rows(knn._pad_features(q), knn.TILE_Q, 0.0)
-    nq_tiles = qp.shape[0] // knn.TILE_Q
-    qtiles = qp.reshape(nq_tiles, knn.TILE_Q, knn.FEATURE_PAD)
-    bound = jnp.float32(cfg.max_distance) * (1 + 1e-6) + 1e-30
-    _, _, counts, _ = knn._visit_lists(
-        jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
-        index.bbox_min, index.bbox_max, bound,
-    )
-    visited = int(jax.device_get(jnp.sum(counts)))
+    if kd_index is not None:
+        # kd block search: every query gathers K whole block rows and takes
+        # direct-difference distances over each candidate; the lb/extract
+        # ranking adds one (nq x n_blocks x D) pass.
+        from icp_variants_tpu.ops import kdtree
 
-    # Matching kernel: bytes = visited tile pages streamed from HBM; flops =
-    # the q @ t^T contraction over visited tiles (upper bound: the
-    # running-best prune skips some of both).
-    m_bytes = visited * tile_t * knn.FEATURE_PAD * 4
-    m_flops = visited * tile_t * knn.TILE_Q * 2 * knn.FEATURE_PAD
+        nc, dcap = kd_index.block_pts.shape
+        d = kd_index.block_min.shape[1]
+        cap = dcap // d
+        nq = int(q.shape[0])
+        kk = min(kdtree.K_DEFAULT, nc)
+        m_bytes = nq * kk * dcap * 4
+        m_flops = nq * (kk * cap * (3 * d + 2) + nc * (3 * d + 2))
+        matcher_line = (
+            f"  kd matcher: {nq} queries x {kk} blocks x {cap} pts: "
+            f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
+        )
+    else:
+        tile_t = knn.V2_TILE_T
+        index = knn.build_target_index(target.points, tile_t=tile_t)
+        qp = knn._pad_rows(knn._pad_features(q), knn.TILE_Q, 0.0)
+        nq_tiles = qp.shape[0] // knn.TILE_Q
+        qtiles = qp.reshape(nq_tiles, knn.TILE_Q, knn.FEATURE_PAD)
+        bound = jnp.float32(cfg.max_distance) * (1 + 1e-6) + 1e-30
+        _, _, counts, _ = knn._visit_lists(
+            jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
+            index.bbox_min, index.bbox_max, bound,
+        )
+        visited = int(jax.device_get(jnp.sum(counts)))
+
+        # Matching kernel: bytes = visited tile pages streamed from HBM;
+        # flops = the q @ t^T contraction over visited tiles (upper bound:
+        # the running-best prune skips some of both).
+        m_bytes = visited * tile_t * knn.FEATURE_PAD * 4
+        m_flops = visited * tile_t * knn.TILE_Q * 2 * knn.FEATURE_PAD
+        matcher_line = (
+            f"  k-NN matcher: {visited} visited tiles/iter, "
+            f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
+        )
 
     # Solver (JTJ accumulation): ~4 residual rows per match, 6-wide.
     n = qp.shape[0]
@@ -358,8 +383,7 @@ def kernel_efficiency(
 
     lines = [
         "Kernel efficiency (analytic work / measured fused-stage time):",
-        f"  k-NN matcher: {visited} visited tiles/iter, "
-        f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP",
+        matcher_line,
         achieved(m_bytes, m_flops, matching_time),
         f"  JTJ accumulate: {n} matches x {rows} rows: "
         f"{s_bytes / 1e6:.2f} MB, {s_flops / 1e9:.3f} GFLOP",
@@ -368,13 +392,17 @@ def kernel_efficiency(
     return "\n".join(lines)
 
 
-def fused_report(cfg, source, target, *, key=None, repetitions: int = 3) -> str:
+def fused_report(
+    cfg, source, target, *, key=None, repetitions: int = 3, kd_index=None
+) -> str:
     """The ``--profile`` surface: fused per-stage breakdown + kernel
     efficiency, from the production executable."""
     times = profile_fused_stages(
-        cfg, source, target, key=key, repetitions=repetitions
+        cfg, source, target, key=key, repetitions=repetitions,
+        kd_index=kd_index,
     )
     eff = kernel_efficiency(
-        cfg, source, target, times.matching, times.solver, key=key
+        cfg, source, target, times.matching, times.solver, key=key,
+        kd_index=kd_index,
     )
     return times.report() + "\n" + eff

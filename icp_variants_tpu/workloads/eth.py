@@ -131,16 +131,29 @@ def align_eth_batch(
         capacity = int(-(-int(counts.max()) // 512) * 512)
         loader.capacity = capacity
 
-    # Batches load on a background worker (native threaded .pcd parsing)
-    # while the previous batch's ICP program runs on device.
+    # Batches load on a background worker (native threaded .pcd parsing +
+    # per-target kd builds) while the previous batch's ICP program runs on
+    # device.
     from icp_variants_tpu.runtime.prefetch import Prefetcher
+
+    def load_batch(idxs):
+        samples = loader.get_items(idxs)
+        kds = [icp.build_kd_for(cfg, s.target) for s in samples]
+        if any(k is None for k in kds):
+            return samples, None
+        return samples, kdtree_stack(kds)
+
+    def kdtree_stack(kds):
+        from icp_variants_tpu.ops import kdtree
+
+        return kdtree.stack_kd_indexes(kds)
 
     batch_indices = [
         list(range(start, min(start + batch_size, n)))
         for start in range(0, n, batch_size)
     ]
-    prefetched = Prefetcher(batch_indices, loader.get_items, depth=1)
-    for idxs, samples in zip(batch_indices, prefetched):
+    prefetched = Prefetcher(batch_indices, load_batch, depth=1)
+    for idxs, (samples, kd_indexes) in zip(batch_indices, prefetched):
         start = idxs[0]
         sources, originals, gt_valids, perturbations = [], [], [], []
         for s in samples:
@@ -161,6 +174,7 @@ def align_eth_batch(
             gt_valid=np.stack(gt_valids),
             key=jax.random.PRNGKey(seed + start),
             run_benchmark=True,
+            kd_indexes=kd_indexes,
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))
@@ -252,6 +266,7 @@ def align_eth(
             gt_valid=gt_valid,
             key=jax.random.PRNGKey(seed + index),
             run_benchmark=True,
+            kd_index=icp.build_kd_for(cfg, sample.target),
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))

@@ -94,6 +94,9 @@ def reconstruct_room(
         capacity=sensor.width * sensor.height,
     )
     target_trajectory = frame0.trajectory
+    # One-time kd build over the tracked frame-0 target (k-NN runs only;
+    # the production matching path for image-scale clouds).
+    target_kd = icp.build_kd_for(cfg, target)
 
     # Source shape contract (main.cpp:293-298): full-size for multires,
     # stride-8 compacted otherwise. Fixed capacities keep one executable.
@@ -150,6 +153,7 @@ def reconstruct_room(
             gt_valid=gt_valid,
             key=jax.random.PRNGKey(seed + i),
             num_source_points=num_source_points,
+            kd_index=target_kd,
         )
         current_camera_to_world = np.asarray(jax.device_get(res.pose))
         rmse = np.asarray(jax.device_get(res.trace.rmse))

@@ -239,3 +239,32 @@ class TestPipelineParity:
         rmse = np.asarray(res.trace.rmse)
         assert np.isfinite(np.asarray(res.pose)).all()
         assert rmse.shape[0] == 2
+
+
+class TestBuildKdFor:
+    def test_threshold_and_matching_gates(self):
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import ICPConfig, Matching
+
+        rng = np.random.default_rng(0)
+        small = from_numpy(rng.normal(0, 1, (500, 3)).astype(np.float32))
+        cfg = ICPConfig(max_distance=1.0)
+        assert icp.build_kd_for(cfg, small) is None            # below threshold
+        kd = icp.build_kd_for(cfg, small, min_points=100)      # forced
+        assert isinstance(kd, kdtree.KDIndex)
+        proj = ICPConfig(max_distance=1.0, matching=Matching.PROJECTIVE)
+        assert icp.build_kd_for(proj, small, min_points=100) is None
+
+    def test_color_features_dim(self):
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import ICPConfig
+
+        rng = np.random.default_rng(1)
+        pts = rng.normal(0, 1, (400, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (400, 4)).astype(np.float32)
+        cloud = from_numpy(pts, colors=col)
+        cfg = ICPConfig(max_distance=1.0, color_icp=True)
+        kd = icp.build_kd_for(cfg, cloud, min_points=100)
+        assert kd.block_min.shape[1] == 6
