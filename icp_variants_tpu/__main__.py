@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     e.add_argument("--max-pairs", type=int)
     e.add_argument("--batch", type=int, default=0, help=">0: batched runner")
     e.add_argument("--pose-scaling", type=float, default=0.1)
+    e.add_argument(
+        "--downsample", type=int,
+        help="load-time stride subsampling of huge clouds (extension)",
+    )
 
     x = sub.add_parser("experiments", help="CSV config-matrix sweep")
     x.add_argument("config_csv")
@@ -103,10 +107,12 @@ def main(argv=None) -> int:
             res = eth.align_eth_batch(
                 args.pose_csv, cfg, pose_scaling=args.pose_scaling,
                 max_pairs=args.max_pairs, batch_size=args.batch,
+                downsample=args.downsample,
             )
         else:
             res = eth.align_eth(
                 args.pose_csv, cfg, pose_scaling=args.pose_scaling,
+                downsample=args.downsample,
                 max_pairs=args.max_pairs,
             )
         for p in res.pairs:

@@ -113,6 +113,7 @@ class ETHDataLoader(DataLoader):
         capacity: int | None = None,
         estimate_normals: bool = True,
         normal_k: int = 5,
+        downsample: int | None = None,
     ):
         import csv as _csv
 
@@ -131,6 +132,11 @@ class ETHDataLoader(DataLoader):
         self.capacity = capacity
         self.estimate_normals = estimate_normals
         self.normal_k = normal_k
+        # Load-time stride subsampling (EXTENSION: the reference only
+        # strides inside the optimizer, ICPOptimizer.h:196-208; this trims
+        # very large clouds before normals/device upload). Applied before
+        # normal estimation, so normals see the subsampled neighborhood.
+        self.downsample = downsample
 
         with open(csv_path, newline="") as f:
             rows = list(_csv.reader(f))
@@ -157,6 +163,8 @@ class ETHDataLoader(DataLoader):
             for c, name in enumerate(row[1:3]):
                 path = os.path.join(self.data_root, self.data_name, name)
                 out[i, c] = pcd_io.read_pcd_point_count(path)
+        if self.downsample is not None and self.downsample > 1:
+            out = -(-out // self.downsample)  # ceil: rows kept by the stride
         return out
 
     def _gt_pose(self, index: int) -> np.ndarray:
@@ -168,6 +176,8 @@ class ETHDataLoader(DataLoader):
         return pose
 
     def _cloud_from_points(self, pts: np.ndarray) -> Cloud:
+        if self.downsample is not None and self.downsample > 1:
+            pts = pts[:: self.downsample]
         normals = None
         if self.estimate_normals:
             import jax.numpy as jnp

@@ -527,6 +527,11 @@ def stack_clouds(clouds) -> Cloud:
 # Below this size the kd build + extra program outweigh the candidate
 # savings (the visited-list kernel already prunes well on small clouds).
 KD_MIN_POINTS = 20_000
+# kd pays when the query set is SPARSE: its per-query K-block gather is
+# radius-independent, so with dense queries (SELECT_ALL) and a tight
+# threshold the radius-pruned visited-list kernel wins instead (measured
+# on the TUM room tracker: 51 vs 32 ms/iter, scripts/bench_projective_log).
+KD_MAX_SELECTION_P = 0.05
 
 
 def build_kd_for(
@@ -535,11 +540,18 @@ def build_kd_for(
     """Host-side kd-index build for the production matching path.
 
     Returns a ``kdtree.KDIndex`` over the target (or its 6-dim color
-    features under color-ICP) when k-NN matching is configured and the
-    cloud is large enough to benefit; ``None`` otherwise. The reference
-    analog is the one-time FLANN buildIndex (NearestNeighbor.h:122-141).
+    features under color-ICP) when k-NN matching is configured, the cloud
+    is large enough to benefit, and selection is sparse (the regime where
+    per-query search beats the tile kernel); ``None`` otherwise. The
+    reference analog is the one-time FLANN buildIndex
+    (NearestNeighbor.h:122-141).
     """
     if cfg.matching != Matching.KNN:
+        return None
+    if not (
+        cfg.selection in (Selection.RANDOM, Selection.RANDOM_FAST)
+        and cfg.selection_proba <= KD_MAX_SELECTION_P
+    ):
         return None
     valid = np.asarray(jax.device_get(target.valid))
     if int(valid.sum()) < min_points:

@@ -112,6 +112,7 @@ def align_eth_batch(
     max_pairs: int | None = None,
     batch_size: int = 4,
     seed: int = 0,
+    downsample: int | None = None,
 ) -> ETHRunResult:
     """Data-parallel ETH sweep: registers ``batch_size`` scan pairs per
     compiled program (``run_icp_batch``). Requires a common ``capacity`` so
@@ -119,7 +120,10 @@ def align_eth_batch(
     the first batch, rounded up.
     """
     cfg = cfg or default_config()
-    loader = ETHDataLoader(csv_path, data_root=data_root, capacity=capacity)
+    loader = ETHDataLoader(
+        csv_path, data_root=data_root, capacity=capacity,
+        downsample=downsample,
+    )
     n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
     result = ETHRunResult()
 
@@ -236,11 +240,15 @@ def align_eth(
     capacity: int | None = None,
     max_pairs: int | None = None,
     seed: int = 0,
+    downsample: int | None = None,
 ) -> ETHRunResult:
     if not (0.0 < pose_scaling <= 1.0):
         raise ValueError("pose scaling must be in (0, 1]")  # main.cpp:346-349
     cfg = cfg or default_config()
-    loader = ETHDataLoader(csv_path, data_root=data_root, capacity=capacity)
+    loader = ETHDataLoader(
+        csv_path, data_root=data_root, capacity=capacity,
+        downsample=downsample,
+    )
     result = ETHRunResult()
     logger.info("%s", cfg.describe())
 

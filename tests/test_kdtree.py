@@ -247,14 +247,21 @@ class TestBuildKdFor:
         from icp_variants_tpu.pipeline import icp
         from icp_variants_tpu.pipeline.config import ICPConfig, Matching
 
+        from icp_variants_tpu.pipeline.config import Selection
+
         rng = np.random.default_rng(0)
         small = from_numpy(rng.normal(0, 1, (500, 3)).astype(np.float32))
-        cfg = ICPConfig(max_distance=1.0)
+        sparse = dict(selection=Selection.RANDOM, selection_proba=0.01)
+        cfg = ICPConfig(max_distance=1.0, **sparse)
         assert icp.build_kd_for(cfg, small) is None            # below threshold
         kd = icp.build_kd_for(cfg, small, min_points=100)      # forced
         assert isinstance(kd, kdtree.KDIndex)
-        proj = ICPConfig(max_distance=1.0, matching=Matching.PROJECTIVE)
+        proj = ICPConfig(
+            max_distance=1.0, matching=Matching.PROJECTIVE, **sparse)
         assert icp.build_kd_for(proj, small, min_points=100) is None
+        # dense selection: the radius-pruned tile kernel wins, no kd
+        dense = ICPConfig(max_distance=1.0)
+        assert icp.build_kd_for(dense, small, min_points=100) is None
 
     def test_color_features_dim(self):
         from icp_variants_tpu.core.cloud import from_numpy
@@ -264,7 +271,11 @@ class TestBuildKdFor:
         rng = np.random.default_rng(1)
         pts = rng.normal(0, 1, (400, 3)).astype(np.float32)
         col = rng.integers(0, 255, (400, 4)).astype(np.float32)
+        from icp_variants_tpu.pipeline.config import Selection
+
         cloud = from_numpy(pts, colors=col)
-        cfg = ICPConfig(max_distance=1.0, color_icp=True)
+        cfg = ICPConfig(
+            max_distance=1.0, color_icp=True,
+            selection=Selection.RANDOM, selection_proba=0.01)
         kd = icp.build_kd_for(cfg, cloud, min_points=100)
         assert kd.block_min.shape[1] == 6

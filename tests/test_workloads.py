@@ -324,3 +324,30 @@ class TestBatchLoading:
         loader = ETHDataLoader(csv_path, capacity=512)
         with pytest.raises(IndexError):
             loader.get_items([0, 5])
+
+
+class TestLoadTimeDownsample:
+    def test_downsample_strides_points(self, tmp_path):
+        from icp_variants_tpu.data.loaders import ETHDataLoader
+
+        csv_path = make_eth_sequence(tmp_path, n_points=400, n_pairs=1)
+        full = ETHDataLoader(csv_path, capacity=512)
+        down = ETHDataLoader(csv_path, capacity=512, downsample=4)
+        assert int(np.asarray(down[0].source.valid).sum()) == 100
+        # stride-4 subset of the full load (pre-Morton row order)
+        assert (down.point_counts() == -(-full.point_counts() // 4)).all()
+
+    def test_downsampled_sweep_runs(self, tmp_path):
+        from icp_variants_tpu.workloads import eth
+
+        csv_path = make_eth_sequence(tmp_path, n_pairs=1)
+        cfg = eth.default_config(
+            minimizer=__import__(
+                "icp_variants_tpu.pipeline.config", fromlist=["Minimizer"]
+            ).Minimizer.LINEAR,
+            n_iterations=5, max_distance=1.0,
+        )
+        res = eth.align_eth(
+            csv_path, cfg, pose_scaling=0.5, capacity=256, downsample=2,
+        )
+        assert res.pairs[0].final_error < res.pairs[0].initial_error
