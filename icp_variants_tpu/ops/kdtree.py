@@ -57,7 +57,9 @@ class KDIndex(NamedTuple):
 
     Blocks are equal-count (+-1 per split) with disjoint boxes. All shapes
     depend only on the cloud CAPACITY, so one executable serves a whole
-    equal-capacity sweep.
+    equal-capacity sweep. ``pages``/``page_orig`` carry the same points in
+    the visited-list kernel's page layout (knn._run_visited_kernel) for
+    the union matcher — one block = one kernel tile.
     """
 
     block_pts: jax.Array    # (C, D*cap) f32 coordinate-major rows,
@@ -65,6 +67,8 @@ class KDIndex(NamedTuple):
     block_orig: jax.Array   # (C, cap) int32 original row ids, -1 padding
     block_min: jax.Array    # (C, D) box mins (+inf for empty blocks)
     block_max: jax.Array    # (C, D) box maxs (-inf for empty blocks)
+    pages: jax.Array        # (C, 8, cap_pad) kernel pages, feature-major
+    page_orig: jax.Array    # (C*cap_pad,) original row ids, -1 padding
 
 
 def kd_depth_for(capacity: int, block_target: int = BLOCK_TARGET) -> int:
@@ -145,11 +149,21 @@ def build_kd_index(
     # Coordinate-major rows: [x_0..x_cap, y_0..y_cap, z_0..z_cap, ...]
     block_pts = np.ascontiguousarray(
         pts.transpose(0, 2, 1).reshape(n_blocks, d * cap))
+    # Kernel pages: one block per visited-list-kernel tile, 8 feature rows
+    # (coords then zeros), lane dim padded to the 128 multiple.
+    cap_pad = ((cap + 127) // 128) * 128
+    pages = np.zeros((n_blocks, 8, cap_pad), np.float32)
+    pages[:, :d, :] = LEAF_PAD
+    pages[:, :d, :cap] = pts.transpose(0, 2, 1)
+    page_orig = np.full((n_blocks, cap_pad), -1, np.int32)
+    page_orig[:, :cap] = block_orig
     return KDIndex(
         block_pts=jnp.asarray(block_pts),
         block_orig=jnp.asarray(block_orig),
         block_min=jnp.asarray(block_min),
         block_max=jnp.asarray(block_max),
+        pages=jnp.asarray(pages),
+        page_orig=jnp.asarray(page_orig.reshape(-1)),
     )
 
 
@@ -277,6 +291,72 @@ def nn_search_kd(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_q", "chunk", "interpret")
+)
+def nn_search_kd_union(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float | jax.Array,
+    *,
+    k: int | None = None,
+    tile_q: int = 128,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact-unless-flagged 1-NN via the visited-list kernel over the
+    UNION of each query tile's per-query top-k blocks.
+
+    Same ``(orig_idx, dist2, fail)`` contract as :func:`nn_search_kd`, but
+    instead of gathering each query's k winning blocks separately (bytes
+    duplicated per query), the 128 queries of a tile share one streamed
+    evaluation of their union (~57 blocks/tile at bench shapes vs 512
+    gathered rows) — per-query candidate tightness at per-tile bandwidth.
+    Exactness: the kernel evaluates a superset of each query's top-k except
+    blocks provably beyond its running best (suffix prune), so the
+    (k+1)-th-extraction certificate from the ranking stage transfers
+    unchanged; failed queries re-search via the caller's fallback.
+    """
+    from icp_variants_tpu.ops import knn
+
+    nc = index.pages.shape[0]
+    d = index.block_min.shape[1]
+    k = min(K_DEFAULT if k is None else k, nc)
+    nq = queries.shape[0]
+    q = knn._pad_rows(knn._pad_features(queries[:, :d]), tile_q, 0.0)
+    nqt = q.shape[0] // tile_q
+
+    lb = _box_lb(q[:, :d], index.block_min, index.block_max)  # (Nq_pad, nc)
+    sel, resid = _extract_min(lb, k)                          # (Nq_pad, k)
+
+    rows = (jnp.arange(q.shape[0], dtype=jnp.int32) // tile_q)[:, None]
+    member = jnp.zeros((nqt, nc), bool)
+    member = member.at[
+        jnp.broadcast_to(rows, sel.shape).reshape(-1), sel.reshape(-1)
+    ].set(True)
+    lb_tile = jnp.min(lb.reshape(nqt, tile_q, nc), axis=1)
+
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    vlist, suffix, counts, counts0 = knn._visit_lists_from(
+        lb_tile, member, jnp.broadcast_to(bound_val, (nqt, 1))
+    )
+    binit = jnp.full((q.shape[0],), bound_val, jnp.float32)
+    dist, idx = knn._run_visited_kernel(
+        q, binit, vlist, suffix, counts, counts0, index.pages,
+        tile_q=tile_q, tile_t=index.pages.shape[2], chunk=chunk,
+        n_features=d, interpret=interpret,
+    )
+    sorted_idx = idx[:nq, 0]
+    d2 = dist[:nq, 0]
+    orig = index.page_orig[
+        jnp.clip(sorted_idx, 0, index.page_orig.shape[0] - 1)
+    ]
+    out_idx = jnp.where(sorted_idx < 0, -1, orig)
+    resid = resid[:nq]
+    fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
+    return out_idx, d2, fail
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fallback(impl: str, max_distance: float, tile_t: int, interpret: bool):
     """Build (and cache) the certificate-failure fallback searcher.
@@ -383,9 +463,17 @@ def match_kd(
     """
     from icp_variants_tpu.ops import knn
 
-    idx3, d23, fail = nn_search_kd(queries, index, max_distance, k=k)
     if impl is None:
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "v2":
+        # Production: the union kernel (per-query candidate tightness at
+        # per-tile bandwidth); the flat-gather search stays the portable
+        # path and the batched-gather reference.
+        idx3, d23, fail = nn_search_kd_union(
+            queries, index, max_distance, k=k, interpret=interpret
+        )
+    else:
+        idx3, d23, fail = nn_search_kd(queries, index, max_distance, k=k)
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
     tile_t = fallback_index.points_t3.shape[2]

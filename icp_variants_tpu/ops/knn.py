@@ -657,7 +657,13 @@ def _visit_lists(
     bound_val = jnp.broadcast_to(
         jnp.asarray(bound_val, jnp.float32), lb.shape[:1]
     )[:, None]
-    visited = lb <= bound_val
+    return _visit_lists_from(lb, lb <= bound_val, bound_val)
+
+
+def _visit_lists_from(lb, visited, bound_val):
+    """List construction from an explicit membership mask + per-cell lower
+    bounds (see :func:`_visit_lists`); the kd-union matcher passes a
+    per-query top-K union as ``visited`` instead of the radius test."""
     nqt, ntt = visited.shape
 
     nbins = 8
@@ -744,6 +750,31 @@ def nn_search_pruned_v2(
     )
     if not use_phase1:
         counts0 = jnp.zeros_like(counts0)
+    dist, idx = _run_visited_kernel(
+        q, binit, vlist, suffix, counts, counts0, index.points_t3,
+        tile_q=tile_q, tile_t=tile_t, chunk=chunk,
+        n_features=n_features, interpret=interpret,
+    )
+    sorted_idx = idx[:nq, 0]
+    d2_out = dist[:nq, 0]
+    orig = index.perm[jnp.clip(sorted_idx, 0, index.perm.shape[0] - 1)]
+    return jnp.where(sorted_idx < 0, -1, orig), d2_out
+
+
+def _run_visited_kernel(
+    q, binit, vlist, suffix, counts, counts0, pages,
+    *, tile_q, tile_t, chunk, n_features, interpret,
+):
+    """Invoke the visited-list kernel on prebuilt lists.
+
+    ``q`` is row/feature padded, ``pages`` is the (n_tiles, 8, tile_t)
+    coordinate-major page array, lists are (nqt, n_tiles) with suffix-min
+    bounds. Shared by the radius path (:func:`nn_search_pruned_v2`) and the
+    kd-union path (kdtree.nn_search_kd_union) — both produce per-query-tile
+    lists, only the membership rule differs.
+    """
+    nq_tiles = q.shape[0] // tile_q
+    n_tiles = pages.shape[0]
     max_v = ((n_tiles + 127) // 128) * 128
     vlist = jnp.pad(vlist, ((0, 0), (0, max_v - n_tiles)))
     lblist = jnp.pad(
@@ -781,7 +812,7 @@ def nn_search_pruned_v2(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    dist, idx = pl.pallas_call(
+    return pl.pallas_call(
         _make_visited_kernel(tile_t, max_v, chunk, n_features),
         grid_spec=grid_spec,
         out_shape=[
@@ -797,15 +828,10 @@ def nn_search_pruned_v2(
         counts0,
         vlist,
         lblist,
-        index.points_t3,
+        pages,
         q,
         binit[:, None],
     )
-
-    sorted_idx = idx[:nq, 0]
-    d2_out = dist[:nq, 0]
-    orig = index.perm[jnp.clip(sorted_idx, 0, index.perm.shape[0] - 1)]
-    return jnp.where(sorted_idx < 0, -1, orig), d2_out
 
 
 def nn_search_pruned_xla(

@@ -279,3 +279,76 @@ class TestBuildKdFor:
             selection=Selection.RANDOM, selection_proba=0.01)
         kd = icp.build_kd_for(cfg, cloud, min_points=100)
         assert kd.block_min.shape[1] == 6
+
+
+class TestUnionKernel:
+    """nn_search_kd_union (the production TPU matcher) in interpret mode
+    vs the scipy oracle — per VERDICT r1's rule that the exact production
+    configuration must be covered on CPU."""
+
+    @pytest.mark.parametrize("surface", [False, True])
+    def test_union_exact_vs_scipy(self, surface):
+        q, t = _clouds(n_t=20000, n_q=1500, surface=surface)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        i, d2, fail = kdtree.nn_search_kd_union(
+            jnp.asarray(q), idx, maxd, interpret=True)
+        i, d2, fail = np.asarray(i), np.asarray(d2), np.asarray(fail)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        ok = ~fail
+        w = ok & (d2ref <= maxd)
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        over = ok & (d2ref > maxd)
+        assert (i[over] == -1).all()
+        assert (d2[over] > maxd).all()
+        assert fail.mean() < 0.05
+
+    def test_union_matches_gather_search(self):
+        """Union kernel and flat-gather search agree wherever both
+        certificates close (same k, same index)."""
+        q, t = _clouds(n_t=12000, n_q=1000, seed=3)
+        idx = kdtree.build_kd_index(t)
+        iu, d2u, fu = kdtree.nn_search_kd_union(
+            jnp.asarray(q), idx, 4.0, interpret=True)
+        ig, d2g, fg = kdtree.nn_search_kd(jnp.asarray(q), idx, 4.0)
+        w = ~(np.asarray(fu) | np.asarray(fg))
+        agree = (np.asarray(iu)[w] == np.asarray(ig)[w]) | np.isclose(
+            np.asarray(d2u)[w], np.asarray(d2g)[w], rtol=1e-6, atol=1e-9)
+        assert agree.all()
+
+    def test_match_kd_v2_impl_with_fallback(self):
+        """The full production dispatch (union + per-query-bound v2-kernel
+        fallback) in interpret mode, with forced-tiny k driving failures."""
+        q, t = _clouds(n_t=12000, n_q=800, seed=7)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        maxd = 4.0
+        _, _, fail = kdtree.nn_search_kd_union(
+            jnp.asarray(q), idx, maxd, k=1, interpret=True)
+        assert np.asarray(fail).mean() > 0.01  # failures really exercised
+        i, d2, valid = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, maxd, k=1, impl="v2", interpret=True)
+        i, d2 = np.asarray(i), np.asarray(d2)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        w = d2ref <= maxd
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        assert (np.asarray(valid) == w).all()
+
+    def test_union_small_cloud_few_blocks(self):
+        rng = np.random.default_rng(11)
+        t = rng.normal(0, 1, (900, 3)).astype(np.float32)
+        q = t[:200] + rng.normal(0, 0.01, (200, 3)).astype(np.float32)
+        idx = kdtree.build_kd_index(t)
+        i, d2, fail = kdtree.nn_search_kd_union(
+            jnp.asarray(q), idx, 1.0, interpret=True)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        w = ~np.asarray(fail)
+        agree = (np.asarray(i)[w] == iref[w]) | np.isclose(
+            np.asarray(d2)[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
