@@ -80,13 +80,12 @@ def main():
 
     log(f"=== kd (block_target, K) sweep, {bench.BATCH_PAIRS} pairs ===")
     for bt, k in [
-        (768, 4),       # current default
-        (768, 3),
-        (768, 2),
-        (384, 6),
-        (384, 4),
-        (1536, 3),
-        (1536, 2),
+        (768, 4),       # current default (512 blocks of ~714)
+        (512, 6),       # 1024 blocks of ~357
+        (512, 8),
+        (512, 4),
+        (768, 6),
+        (1536, 3),      # 256 blocks of ~1428
     ]:
         try:
             run_with(bt, k)

@@ -116,3 +116,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def tile_q_sweep():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
+
+    B, NQ = 16, 4736
+    pairs = bench.make_pairs()
+    tclouds = [
+        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+        for (_, _, tp, tn) in pairs
+    ]
+    kd = kdtree.stack_kd_indexes([
+        kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
+        for t in tclouds
+    ])
+    sclouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    rng = np.random.default_rng(0)
+    qs = []
+    for sc in sclouds:
+        pts = np.asarray(sc.points)
+        valid = np.asarray(sc.valid)
+        rows = np.flatnonzero((rng.random(len(pts)) < 0.012) & valid)[:NQ]
+        rows = np.pad(rows, (0, NQ - len(rows)), mode="edge")
+        qs.append(pts[rows] + rng.normal(0, 0.02, (NQ, 3)).astype(np.float32))
+    q = jnp.asarray(np.stack(qs).astype(np.float32))
+    log(f"=== union tile_q sweep ({B} pairs, 20-iter scan) ===")
+
+    def scan_of(fn):
+        def run(qb):
+            def body(c, _):
+                out = fn(qb + c * 1e-6)
+                return c + 1.0, jax.tree.map(lambda x: x[..., :1], out)
+            _, outs = jax.lax.scan(body, 0.0, None, length=20)
+            return outs
+        return jax.jit(run)
+
+    for tq in (64, 128, 256):
+        vm = jax.vmap(
+            lambda qq, kk: kdtree.nn_search_kd_union(qq, kk, 10.0, tile_q=tq),
+            (0, 0))
+        fn = scan_of(lambda qb: vm(qb, kd))
+        t0 = time.perf_counter()
+        out = fn(q)
+        jax.device_get(jax.tree.leaves(out)[0])
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(q)
+        jax.device_get(jax.tree.leaves(out)[0])
+        dt = (time.perf_counter() - t0) / 3 / 20 * 1000
+        log(f"tile_q={tq:4d}: {dt:8.3f} ms/iter-batch ({dt/B:6.3f}/pair, compile {tc:.0f}s)")
+    log("done")
