@@ -357,6 +357,351 @@ def nn_search_kd_union(
     return out_idx, d2, fail
 
 
+# Query tiles per prefix-kernel grid step: output rows must tile in
+# (8, 128) sublane/lane units, so each step reduces 8 query tiles.
+_PREFIX_GROUP = 8
+
+
+def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
+    """Fused membership/ordering prefix for the bitmap search: per-query
+    box lower bounds live only in VMEM (the (Nq, nc) lb matrix in HBM was
+    ~half the XLA matcher's cost — scripts/warm_stage_log.txt), reduced in
+    place to the per-tile quantities the bitmap kernel needs. Each grid
+    step handles ``_PREFIX_GROUP`` query tiles so the output block is a
+    legal (8, nc) page.
+
+    With ``k > 0`` each query's membership is capped at its top-k blocks
+    by lower bound (argmin-extraction rounds on the VPU — the union
+    matcher's ranking, moved into VMEM), intersected with its radius;
+    ``resid`` is the (k+1)-th extraction minimum — the certificate that
+    no UNEXAMINED block can beat the found distance. With ``k == 0`` the
+    membership is radius-complete and the certificate trivially holds
+    (resid = +inf)."""
+
+    def kernel(
+        q_ref, binit_ref, bmin_ref, bmax_ref,
+        member_ref, hot_ref, lbtile_ref, resid_ref,
+    ):
+        lb = None
+        for j in range(d):
+            qj = q_ref[:, j:j + 1]                  # (group*tile_q, 1)
+            gap = jnp.maximum(
+                jnp.maximum(
+                    bmin_ref[j:j + 1, :] - qj, qj - bmax_ref[j:j + 1, :]
+                ),
+                0.0,
+            )
+            lb = gap * gap if lb is None else lb + gap * gap  # (gq, nc)
+        in_radius = (lb <= binit_ref[:]).astype(jnp.float32)
+        if k > 0:
+            iota = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
+            w = lb
+            chosen = jnp.zeros_like(lb)
+            for _ in range(k):
+                a = jnp.argmin(w, axis=1).astype(jnp.int32)
+                pick = (iota == a[:, None]).astype(jnp.float32)
+                chosen = jnp.maximum(chosen, pick)
+                w = jnp.where(pick > 0.0, jnp.inf, w)
+            resid = jnp.min(w, axis=1, keepdims=True)   # (gq, 1)
+            hit = chosen * in_radius
+        else:
+            resid = jnp.full_like(binit_ref[:], jnp.inf)
+            hit = in_radius
+        resid_ref[:] = resid
+        # Hot = member blocks CONTAINING a live query (lb == 0): the search
+        # kernel runs them first unconditionally, after which every query's
+        # running best is near-final and the frozen-bound prune can gate
+        # the rest.
+        hot = jnp.where(lb <= 0.0, hit, 0.0)
+        for s in range(_PREFIX_GROUP):
+            rows = slice(s * tile_q, (s + 1) * tile_q)
+            member_ref[s:s + 1, :] = jnp.max(hit[rows], axis=0, keepdims=True)
+            hot_ref[s:s + 1, :] = jnp.max(hot[rows], axis=0, keepdims=True)
+            lbtile_ref[s:s + 1, :] = jnp.min(lb[rows], axis=0, keepdims=True)
+
+    return kernel
+
+
+def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
+    """Per-query-exact membership (top-k-capped when ``k > 0``), hot
+    subset, per-tile min lower bounds, and per-query certificate residual —
+    one fused VMEM pass per group of query tiles. ``q`` is row/feature
+    padded to a ``_PREFIX_GROUP * tile_q`` multiple, ``binit`` the
+    per-query radii (negative = frozen). Returns ``(member, hot, lb_tile,
+    resid)``; the first three (nqt, nc), resid (Nq_pad, 1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nc = index.pages.shape[0]
+    d = index.block_min.shape[1]
+    nqt = q.shape[0] // tile_q
+    f = q.shape[1]
+    gq = _PREFIX_GROUP * tile_q
+    # Boxes transposed feature-major so blocks ride the 128-lane axis.
+    bmin_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_min.T)
+    bmax_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_max.T)
+    member, hot, lb_tile, resid = pl.pallas_call(
+        _make_prefix_kernel(d, nc, tile_q, k),
+        grid=(nqt // _PREFIX_GROUP,),
+        in_specs=[
+            pl.BlockSpec((gq, f), lambda i: (i, 0)),
+            pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+            pl.BlockSpec((f, nc), lambda i: (0, 0)),
+            pl.BlockSpec((f, nc), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+            pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q, binit[:, None], bmin_t, bmax_t)
+    return member > 0.0, hot > 0.0, lb_tile, resid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_distance", "k", "tile_q", "chunk", "interpret"),
+)
+def _kd_bitmap_search(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    radius: jax.Array,
+    *,
+    k: int,
+    tile_q: int = 128,
+    chunk: int = 4,
+    interpret: bool = False,
+):
+    """Shared core of the bitmap-kernel searches: prefix (membership =
+    per-query top-k by lb, intersected with the radius; k=0 = radius-
+    complete) -> two-phase bitmap kernel -> original-row mapping.
+    Returns ``(orig_idx, d2, resid)``."""
+    from icp_variants_tpu.ops import knn
+
+    d = index.block_min.shape[1]
+    nq = queries.shape[0]
+    q = knn._pad_rows(
+        knn._pad_features(queries[:, :d]), _PREFIX_GROUP * tile_q, 0.0
+    )
+
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    binit = jnp.pad(
+        jnp.minimum(jnp.asarray(radius, jnp.float32), bound_val),
+        (0, q.shape[0] - nq),
+        constant_values=-1.0,
+    )
+    member, hot, lb_tile, resid = _radius_prefix(
+        q, binit, index, tile_q=tile_q, k=k, interpret=interpret
+    )
+    # No XLA-side lb ordering: the list construction (two 512-lane
+    # scatters + cummin per tile) cost ~half the matcher
+    # (scripts/warm_stage_log.txt). The bitmap kernel compacts hot/cold
+    # memberships on its scalar core and prunes the cold tail with the
+    # frozen bound read after the hot phase.
+    dist, idx = knn._run_bitmap_kernel(
+        q, binit, hot, member & ~hot, lb_tile, index.pages,
+        float(max_distance),
+        tile_q=tile_q, tile_t=index.pages.shape[2], chunk=chunk,
+        n_features=d, interpret=interpret,
+    )
+    sorted_idx = idx[:nq, 0]
+    d2 = dist[:nq, 0]
+    orig = index.page_orig[
+        jnp.clip(sorted_idx, 0, index.page_orig.shape[0] - 1)
+    ]
+    return jnp.where(sorted_idx < 0, -1, orig), d2, resid[:nq, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_distance", "tile_q", "chunk", "interpret"),
+)
+def nn_search_kd_radius(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    radius: jax.Array,
+    *,
+    tile_q: int = 128,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact 1-NN within per-query radii — the uncapped warm-start mode.
+
+    ``radius[i]`` is an UPPER bound on query i's squared NN distance (e.g.
+    the exact distance to its previous iteration's match — a real target
+    point, hence a valid bound); a NEGATIVE radius freezes the query out
+    (idx -1). Block membership is per-query radius-complete: block B is
+    visited iff ANY query in the tile has ``lb(q, B) <= radius_q`` — exact
+    because a block whose lower bound exceeds an upper bound on the NN
+    distance cannot contain the NN (same one-rounding-step slack argument
+    as the radius mode of ``knn.nn_search_pruned_v2``; no certificate or
+    fallback needed). Returns ``(orig_idx, d2)``; queries where nothing
+    beats their radius return idx -1 with d2 equal to the initial bound —
+    the caller backstops those with the cached match.
+    """
+    idx, d2, _resid = _kd_bitmap_search(
+        queries, index, float(max_distance), radius,
+        k=0, tile_q=tile_q, chunk=chunk, interpret=interpret,
+    )
+    return idx, d2
+
+
+def nn_search_kd_warm(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    radius: jax.Array,
+    *,
+    k: int | None = None,
+    tile_q: int = 128,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact-unless-flagged 1-NN: per-query top-k membership INTERSECTED
+    with warm radii — the production warm matcher.
+
+    The top-k cap bounds the work when radii are loose (early iterations,
+    unseeded cache granules), where radius-complete membership degrades
+    to the full radius search; tight radii shrink membership below k.
+    Same ``(orig_idx, dist2, fail)`` contract as :func:`nn_search_kd_union`
+    — ``fail`` = the (k+1)-th-extraction certificate did not close AND the
+    radius cannot vouch for the result; failed queries re-search via the
+    caller's fallback. Exactness: a top-k block dropped by the radius test
+    has lb > radius >= the found distance, so it cannot improve the
+    result; the certificate covers everything else.
+    """
+    nc = index.pages.shape[0]
+    k = min(K_DEFAULT if k is None else k, nc)
+    idx, d2, resid = _kd_bitmap_search(
+        queries, index, float(max_distance), radius,
+        k=k, tile_q=tile_q, chunk=chunk, interpret=interpret,
+    )
+    fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
+    return idx, d2, fail
+
+
+def match_kd_warm(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float | jax.Array,
+    cache_idx: jax.Array,
+    target_feats: jax.Array,
+    query_mask: jax.Array | None = None,
+    *,
+    fallback_index=None,
+    k: int | None = None,
+    interpret: bool = False,
+    impl: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Warm-start matching: per-query radii from the previous iteration's
+    matches. ``cache_idx`` (N,) holds each query's last matched ORIGINAL
+    target row (-1 = none); ``target_feats`` is the (capacity, d) original
+    feature table the distances are measured in (points, or 6-dim color
+    features). Same ``(indices, dist2, valid)`` contract as
+    :func:`match_kd` / ``knn.match_indexed`` (squared threshold,
+    NearestNeighbor.h:182) — the TPU analog of a kd-tree query warm-started
+    at the previous correspondence, which FLANN cannot express.
+
+    Exactness: the cached match is a real target point, so its exact
+    distance at the CURRENT query position upper-bounds the NN distance;
+    the search is complete within min(radius, top-k certificate) — a
+    query the certificate cannot vouch for re-searches through
+    ``fallback_index`` (a ``knn.TargetIndex``), rare by construction. A
+    query whose kernel search finds nothing strictly better keeps its
+    cached match (tie / roundoff backstop). Masked-out or cache-less
+    queries search at the full threshold radius, where the top-k cap
+    (k=0 disables it; requires ``fallback_index``) bounds the work.
+    """
+    if impl is None:
+        impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    d = index.block_min.shape[1]
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+
+    has_cache = cache_idx >= 0
+    cached = target_feats[jnp.clip(cache_idx, 0, target_feats.shape[0] - 1)]
+    diff = queries[:, :d] - cached[:, :d]
+    cached_d2 = jnp.sum(diff * diff, axis=1)
+    # One-rounding-step slack so the kernel (different summation order)
+    # re-finds the cached point rather than round-off-missing it.
+    radius = jnp.where(
+        has_cache, cached_d2 * (1.0 + 1e-6) + 1e-30, bound_val
+    )
+    radius = jnp.minimum(radius, bound_val)
+    if query_mask is not None:
+        radius = jnp.where(query_mask, radius, -1.0)
+
+    if impl == "v2" and (k == 0 or fallback_index is None):
+        idx, d2 = nn_search_kd_radius(
+            queries, index, float(max_distance), radius,
+            interpret=interpret,
+        )
+    elif impl == "v2":
+        idx, d2, fail = nn_search_kd_warm(
+            queries, index, float(max_distance), radius, k=k,
+            interpret=interpret,
+        )
+        tile_t = fallback_index.points_t3.shape[2]
+        fallback_vm = _make_fallback(
+            impl, float(max_distance), tile_t, interpret
+        )
+        fradii = jnp.where(fail, bound_val, -1.0)
+        idxf, d2f = fallback_vm(queries, fradii, fallback_index)
+        idx = jnp.where(fail, idxf, idx)
+        d2 = jnp.where(fail, d2f, d2)
+    else:
+        # Portable oracle (CPU tests): full exact search, radii ignored —
+        # identical results by the exactness argument above.
+        fidx, fd2 = nn_search_xla_flat(queries[:, :d], index)
+        over = fd2 > jnp.float32(max_distance)
+        idx = jnp.where(over, -1, fidx)
+        d2 = jnp.where(over, bound_val, fd2)
+
+    # Backstop: nothing strictly better found => the cached match IS the NN
+    # (within one rounding step); only applies within the threshold.
+    keep = (idx < 0) & has_cache & (cached_d2 <= jnp.float32(max_distance))
+    if query_mask is not None:
+        keep = keep & query_mask
+    idx = jnp.where(keep, cache_idx, idx)
+    d2 = jnp.where(keep, cached_d2, d2)
+    valid = (d2 <= max_distance) & (idx >= 0)
+    if query_mask is not None:
+        valid = valid & query_mask
+    return idx, d2, valid
+
+
+def nn_search_xla_flat(
+    queries: jax.Array, index: KDIndex
+) -> tuple[jax.Array, jax.Array]:
+    """Portable exact 1-NN over a KDIndex's block table (direct differences
+    against every block point; CPU oracle for the warm path)."""
+    nc, dcap = index.block_pts.shape
+    d = index.block_min.shape[1]
+    cap = dcap // d
+    pts = index.block_pts.reshape(nc, d, cap)
+    d2 = None
+    for j in range(d):
+        diff = pts[None, :, j, :] - queries[:, None, j, None]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    flat = d2.reshape(queries.shape[0], nc * cap)
+    best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    d2min = jnp.min(flat, axis=1)
+    orig = index.block_orig.reshape(-1)[best]
+    return orig, d2min
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fallback(impl: str, max_distance: float, tile_t: int, interpret: bool):
     """Build (and cache) the certificate-failure fallback searcher.

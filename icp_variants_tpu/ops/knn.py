@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -832,6 +833,342 @@ def _run_visited_kernel(
         q,
         binit[:, None],
     )
+
+
+# Quantization width for lower bounds packed into the bitmap code words
+# (value = lbq << 2 | tag). 2^20 levels over [0, bound]; quantizing lb DOWN
+# and the frozen bound UP keeps the prune conservative (never skips a
+# needed block).
+_LBQ_BITS = 20
+
+
+def _make_bitmap_kernel(
+    tile_t: int, nc_real: int, nqt: int, chunk: int, n_features: int,
+    quant_scale: float,
+):
+    """Bitmap-walk variant of the visited-list kernel for the warm-start
+    radius search. Instead of consuming lists pre-sorted on the XLA side —
+    whose construction (two 512-lane scatters + cummin per tile) cost
+    ~0.45 ms/pair, ~half the warm matcher (scripts/warm_stage_log.txt) —
+    each grid step receives one packed CODE row per query tile
+    (0 = non-member, tag 1 = hot: block contains a live query, tag 2 =
+    cold, with the block's quantized per-tile lower bound in the upper
+    bits) and compacts it on the SCALAR core in SMEM with ONE walk over
+    the [jmin, jend) member span (scalar-prefetched; members cluster
+    spatially and kd block ids are tree-ordered, so the span is a small
+    fraction of nc).
+
+    The PAIR batch axis is flattened into the grid (program p = pair
+    ``p // nqt``, query tile ``p % nqt``): one kernel launch serves the
+    whole data-parallel batch, where the generic pallas batching rule
+    would fall back to an explicit per-pair loop over the HBM operands.
+
+    Phase discipline (same as :func:`_make_visited_kernel`): hot chunks
+    run unconditionally with double-buffered DMA and zero scalar-vector
+    syncs; ONE bound read (wb = max running best — near-final once every
+    query has seen its own block); cold chunks gate on "any in-count block
+    with lb <= wb" with the FROZEN, quantized-UP wb — exact because the
+    per-tile lb is a min over the tile's queries and quantized DOWN, and
+    deterministic between a chunk's DMA start and wait. Compacted slots
+    past the true count hold clamped-valid ids, so over-read chunks are
+    merely redundant (running-min is idempotent); the cold predicate
+    guards count membership per slot, so stale lb slots are never
+    trusted."""
+
+    def kernel(
+        range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
+        code_ref,         # (B*nqt, 8, nc) int32 in HBM: packed codes
+        t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
+        q_ref,            # (tile_q, 8) VMEM
+        binit_ref,        # (tile_q, 1) VMEM per-query initial bound
+        dist_ref,         # out (tile_q, 1)
+        idx_ref,          # out (tile_q, 1)
+        vcode_ref,        # SMEM (8, nc) int32: 8-row-replicated code landing
+        vids_ref,         # SMEM (8, nc) int32: row 0/1 = compacted hot/cold
+                          # ids, row 2 = compacted cold quantized lbs
+        wb_ref,           # SMEM (1,) f32: frozen phase-2 bound
+        tbuf_ref,         # VMEM scratch (2, 8, chunk*tile_t)
+        copy_sems,        # DMA semaphores (2, chunk)
+        code_sem,
+    ):
+        p = pl.program_id(0)
+        page_base = (p // nqt) * nc_real   # this pair's page rows
+
+        code_dma = pltpu.make_async_copy(code_ref.at[p], vcode_ref, code_sem)
+        code_dma.start()
+
+        dist_ref[:] = binit_ref[:]
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+        code_dma.wait()
+
+        # Fused scalar compaction walk over the member span. Stores are
+        # unconditional (a non-member leaves its count in place, so the
+        # slot is overwritten by the next member); clamping keeps garbage
+        # slots — overwritten or over-read past the count — valid DMA
+        # targets.
+        def walk(j, carry):
+            ch, cc = carry
+            m = vcode_ref[0, j]
+            tag = m & 3
+            jc = jnp.minimum(j, nc_real - 1)
+            vids_ref[0, ch] = jc
+            vids_ref[1, cc] = jc
+            vids_ref[2, cc] = m >> 2
+            return ch + (tag == 1), cc + (tag == 2)
+
+        cnt_h, cnt_c = jax.lax.fori_loop(
+            range_ref[p, 0], range_ref[p, 1], walk, (0, 0)
+        )
+        ch_h = (cnt_h + chunk - 1) // chunk
+        ch_c = (cnt_c + chunk - 1) // chunk
+
+        def ids_row(k):
+            # Unified chunk index: hot chunks [0, ch_h), cold after.
+            return jnp.where(k < ch_h, 0, 1)
+
+        def slot_of(k):
+            return jnp.where(k < ch_h, k * chunk, (k - ch_h) * chunk)
+
+        def tile_dma(slot, k, j):
+            tile_id = vids_ref[ids_row(k), slot_of(k) + j]
+            return pltpu.make_async_copy(
+                t_ref.at[page_base + tile_id],
+                tbuf_ref.at[slot, :, pl.ds(j * tile_t, tile_t)],
+                copy_sems.at[slot, j],
+            )
+
+        def start_chunk(slot, k):
+            for j in range(chunk):
+                tile_dma(slot, k, j).start()
+
+        def wait_chunk(slot, k):
+            for j in range(chunk):
+                tile_dma(slot, k, j).wait()
+
+        def _compute(slot, k):
+            t = tbuf_ref[slot]                      # (8, chunk*tile_t)
+            d2 = (q_ref[:, 0:1] - t[0:1, :]) ** 2
+            for c in range(1, n_features):
+                d2 = d2 + (q_ref[:, c:c + 1] - t[c:c + 1, :]) ** 2
+            local_min = jnp.min(d2, axis=1, keepdims=True)
+            gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            sub = jax.lax.rem(gpos, tile_t)
+            seg = gpos // tile_t
+            base = jnp.full_like(gpos, vids_ref[ids_row(k), slot_of(k)])
+            for j in range(1, chunk):
+                base = jnp.where(
+                    seg == j, vids_ref[ids_row(k), slot_of(k) + j], base
+                )
+            # PAIR-LOCAL sorted page index (callers map via their own
+            # page_orig).
+            local_arg = (base * tile_t + sub).reshape(-1, 1)
+            better = local_min < dist_ref[:]
+            idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+            dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+
+        # --- phase 1: hot chunks, unconditional, sync-free ---------------
+        @pl.when(ch_h > 0)
+        def _():
+            start_chunk(0, 0)
+
+            def body1(k, _):
+                slot = jax.lax.rem(k, 2)
+                next_slot = jax.lax.rem(k + 1, 2)
+
+                @pl.when(k + 1 < ch_h)
+                def _():
+                    start_chunk(next_slot, k + 1)
+
+                wait_chunk(slot, k)
+                _compute(slot, k)
+                return 0
+
+            jax.lax.fori_loop(0, ch_h, body1, 0)
+
+        # --- one bound read, then the frozen-bound cold tail -------------
+        @pl.when(ch_c > 0)
+        def _():
+            wb_ref[0] = jnp.max(dist_ref[:])
+
+            def active(k):
+                # Any real (in-count) block of cold chunk k with quantized
+                # lb <= quantized-UP wb. The count guard skips stale slots.
+                wbq = (wb_ref[0] * quant_scale).astype(jnp.int32) + 1
+                base = (k - ch_h) * chunk
+                ok = False
+                for j in range(chunk):
+                    ok = ok | (
+                        (base + j < cnt_c) & (vids_ref[2, base + j] <= wbq)
+                    )
+                return ok
+
+            @pl.when(active(ch_h))
+            def _():
+                start_chunk(0, ch_h)
+
+            def body2(k, _):
+                slot = jax.lax.rem(k - ch_h, 2)
+                next_slot = jax.lax.rem(k - ch_h + 1, 2)
+
+                @pl.when((k + 1 < ch_h + ch_c) & active(k + 1))
+                def _():
+                    start_chunk(next_slot, k + 1)
+
+                @pl.when(active(k))
+                def _():
+                    wait_chunk(slot, k)
+                    _compute(slot, k)
+                return 0
+
+            jax.lax.fori_loop(ch_h, ch_h + ch_c, body2, 0)
+
+    return kernel
+
+
+def _run_bitmap_kernel_flat(
+    q, binit, hot, cold, lb_tile, pages, max_distance,
+    *, tile_q, tile_t, chunk, n_features, interpret,
+):
+    """Flat batched bitmap-kernel invocation.
+
+    ``q`` (B, Nq_pad, F), ``binit`` (B, Nq_pad), ``hot``/``cold``
+    (B, nqt, nc) bool, ``lb_tile`` (B, nqt, nc) f32, ``pages``
+    (B, nc, 8, tile_t); ``max_distance`` is the STATIC squared threshold
+    anchoring the lb quantization. Returns ``(dist, idx)`` of shape
+    (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices.
+    """
+    b, nq_pad, f = q.shape
+    nq_tiles = nq_pad // tile_q
+    nc = pages.shape[1]
+    # 8-row replication for tiling-legal HBM slices; the lane dim must be
+    # a 128-multiple (kd block counts are powers of two >= 128 at
+    # production scale; pad for small clouds).
+    nc_pad = ((nc + 127) // 128) * 128
+
+    bound_val = float(
+        np.float32(max_distance) * np.float32(1.0 + 1e-6) + np.float32(1e-30)
+    )
+    quant_scale = float((1 << _LBQ_BITS) / bound_val)
+    lbq = jnp.clip(
+        (lb_tile * jnp.float32(quant_scale)).astype(jnp.int32),
+        0, (1 << (_LBQ_BITS + 1)) - 1,
+    )
+    code = jnp.where(
+        hot, 1, jnp.where(cold, (lbq << 2) | 2, 0)
+    ).astype(jnp.int32)
+    code = jnp.pad(code, ((0, 0), (0, 0), (0, nc_pad - nc))).reshape(
+        b * nq_tiles, 1, nc_pad
+    )
+    code8 = jnp.broadcast_to(code, (b * nq_tiles, 8, nc_pad))
+
+    # Member span per tile (members cluster in tree order): the kernel's
+    # walk runs [jmin, jend) only.
+    member = hot | cold
+    iota = jnp.arange(nc, dtype=jnp.int32)
+    jmin = jnp.min(jnp.where(member, iota, nc), axis=2)
+    jend = jnp.max(jnp.where(member, iota + 1, 0), axis=2)
+    ranges = jnp.stack(
+        [jmin, jnp.maximum(jend, jmin)], axis=-1
+    ).reshape(b * nq_tiles, 2)
+
+    kernel = _make_bitmap_kernel(
+        tile_t, nc, nq_tiles, chunk, n_features, quant_scale
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * nq_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # code bitmap
+            pl.BlockSpec(memory_space=pltpu.HBM),   # target pages
+            pl.BlockSpec((tile_q, FEATURE_PAD), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((2, FEATURE_PAD, chunk * tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * nq_pad, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        ranges,
+        code8,
+        pages.reshape(b * nc, 8, tile_t),
+        q.reshape(b * nq_pad, f),
+        binit.reshape(b * nq_pad, 1),
+    )
+    return dist.reshape(b, nq_pad, 1), idx.reshape(b, nq_pad, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitmap_search_fn(
+    tile_q: int, tile_t: int, chunk: int, n_features: int,
+    max_distance: float, interpret: bool,
+):
+    """Build (and cache) the custom-vmap bitmap searcher.
+
+    Constructed via lru_cache on the static config so the ``custom_vmap``
+    object is created once (building one inside a traced scan body leaks
+    tracers into its staged jaxpr). The vmap rule flattens the pair axis
+    into the kernel grid — ONE launch for the whole batch — where the
+    generic pallas batching rule would loop per pair over the HBM
+    operands.
+    """
+    kw = dict(
+        tile_q=tile_q, tile_t=tile_t, chunk=chunk,
+        n_features=n_features, interpret=interpret,
+    )
+
+    def search(q, binit, hot, cold, lb_tile, pages):
+        dist, idx = _run_bitmap_kernel_flat(
+            q[None], binit[None], hot[None], cold[None], lb_tile[None],
+            pages[None], max_distance, **kw
+        )
+        return dist[0], idx[0]
+
+    search_vm = jax.custom_batching.custom_vmap(search)
+
+    @search_vm.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        flat = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, b in zip(args, in_batched)
+        ]
+        out = _run_bitmap_kernel_flat(*flat, max_distance, **kw)
+        return out, (True, True)
+
+    return search_vm
+
+
+def _run_bitmap_kernel(
+    q, binit, hot, cold, lb_tile, pages, max_distance,
+    *, tile_q, tile_t, chunk, n_features, interpret,
+):
+    """Two-phase bitmap-walk search over one pair (batches via the custom
+    vmap rule: the pair axis joins the kernel grid)."""
+    fn = _bitmap_search_fn(
+        tile_q, tile_t, chunk, n_features, float(max_distance), interpret
+    )
+    return fn(q, binit, hot, cold, lb_tile, pages)
 
 
 def nn_search_pruned_xla(

@@ -102,7 +102,7 @@ def make_sharded_icp_step(cfg: ICPConfig, mesh):
             source = Cloud(points=sp, normals=sn, colors=sc, valid=sv)
             target = Cloud(points=tp, normals=tn, colors=tc, valid=tv)
             index = _build_index(cfg, tp, tc)
-            new_pose, _trace = icp._iteration(
+            new_pose, _cache, _trace = icp._iteration(
                 cfg, source, target, pose, stride, key, gt, gt, gtv,
                 run_benchmark=False, axis_name=POINTS_AXIS, target_index=index,
             )
@@ -258,16 +258,35 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
             index = _build_index(cfg, tp, tc)
             kd = kdtree.KDIndex(*kd_leaves) if kd_leaves else None
             ks = jax.random.split(key, n_iter)
+            if cfg.color_icp:
+                feats = knn.color_features(tp, tc)
+            else:
+                feats = tp
+            # Warm-start cache over this shard's LOCAL source rows (the kd
+            # index + target feats are replicated over 'points', so cached
+            # ORIGINAL target rows are globally meaningful on every shard).
+            # Derived from an operand (not jnp.full) so the scan carry has
+            # the same varying-manual-axes as the body's output under
+            # shard_map.
+            cache0 = (
+                sv[:: cfg.kd_warm_granule].astype(jnp.int32) * 0 - 1
+                if kd is not None and cfg.kd_warm_start
+                else None
+            )
 
-            def body(pose, per):
+            def body(carry, per):
+                pose, cache = carry
                 stride, k = per
-                return icp._iteration(
+                new_pose, new_cache, rec = icp._iteration(
                     cfg, source, target, pose, stride, k, gs, gt_, gv,
                     run_benchmark, axis_name=axis_name, target_index=index,
-                    kd_index=kd,
+                    kd_index=kd, match_cache=cache, target_feats=feats,
                 )
+                return (new_pose, new_cache), rec
 
-            final, trace = jax.lax.scan(body, pose0, (strides, ks))
+            (final, _), trace = jax.lax.scan(
+                body, (pose0, cache0), (strides, ks)
+            )
             return icp.ICPResult(pose=final, trace=trace)
 
         return jax.vmap(

@@ -85,6 +85,20 @@ class ICPConfig:
     multi_resolution: bool = False
     multi_resolution_min_points: int = 100  # ICPOptimizer.h:21
 
+    # Warm-start kd matching: carry each source row's last match through
+    # the scan and search within the exact distance to it (an upper bound
+    # on the NN distance, so results are identical). Collapses the per-
+    # iteration candidate set after iteration 1; only active on the kd
+    # matching path. A TPU-native capability with no reference analog
+    # (FLANN queries are stateless, NearestNeighbor.h:160-186).
+    kd_warm_start: bool = True
+    # Warm cache granularity: one slot per `granule` Morton-consecutive
+    # source rows. Any granule-mate's match is a valid radius bound (it is
+    # a real target point, merely a little farther), and with per-iteration
+    # random re-selection a granule is re-seeded ~granule*p times per
+    # iteration — per-ROW caches would almost always miss at p=0.01.
+    kd_warm_granule: int = 128
+
     # LM inner loop (Ceres solver options, ICPOptimizer.h:352-360).
     lm_max_inner_iterations: int = 10
     lm_function_tolerance: float = 1e-6

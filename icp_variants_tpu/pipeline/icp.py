@@ -117,6 +117,39 @@ def _probe_trace(probe: jax.Array) -> "ICPTrace":
     )
 
 
+def _match_kd_stage(
+    cfg, q, kd_index, target_index, sel_mask, sel_idx, match_cache,
+    target_feats,
+):
+    """kd matching stage with optional warm start + match-cache update.
+
+    Returns ``(idx, d2, valid, new_cache)``. Warm start gathers each
+    query's cached match row, searches within the exact distance to it
+    (kdtree.match_kd_warm), and scatters the new matches back — invalid
+    slots write out of range (dropped), so a masked row never races a
+    valid duplicate in the scatter.
+    """
+    if match_cache is None or not cfg.kd_warm_start or target_feats is None:
+        idx, d2, valid = kdtree.match_kd(
+            q, kd_index, target_index, cfg.max_distance, query_mask=sel_mask
+        )
+        return idx, d2, valid, match_cache
+    gcap = match_cache.shape[0]
+    rows = (
+        sel_idx
+        if sel_idx is not None
+        else jnp.arange(q.shape[0], dtype=jnp.int32)
+    )
+    granules = rows // cfg.kd_warm_granule
+    idx, d2, valid = kdtree.match_kd_warm(
+        q, kd_index, cfg.max_distance, match_cache[granules], target_feats,
+        query_mask=sel_mask, fallback_index=target_index,
+    )
+    granules = jnp.where(valid, granules, gcap)
+    new_cache = match_cache.at[granules].set(idx, mode="drop")
+    return idx, d2, valid, new_cache
+
+
 def _iteration(
     cfg: ICPConfig,
     source: Cloud,
@@ -132,7 +165,17 @@ def _iteration(
     target_index: knn.TargetIndex | None = None,
     kd_index: kdtree.KDIndex | None = None,
     stop_after: str | None = None,
+    match_cache: jax.Array | None = None,
+    target_feats: jax.Array | None = None,
 ):
+    """One pipeline iteration; returns ``(pose, match_cache, trace)``.
+
+    ``match_cache`` ((source capacity,) int32, -1 = none) carries each
+    source row's last matched original target row across iterations for
+    warm-start kd matching; threaded unchanged when warm start is off.
+    ``target_feats`` is the original-row feature table distances are
+    measured in (points, or color features under color-ICP).
+    """
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
     if axis_name is not None:
@@ -145,11 +188,12 @@ def _iteration(
     if stop_after == "floor":
         # Scan/dispatch floor probe for the fused TimeMeasure: no pipeline
         # stage runs; the key-dependent checksum keeps the scan body alive.
-        return pose, _probe_trace(
+        return pose, match_cache, _probe_trace(
             jnp.sum(key.astype(jnp.float32)) + jnp.sum(pose)
         )
 
     # --- stage 1: selection -------------------------------------------------
+    sel_idx = None  # compacted-query rows into the source (None = identity)
     if cfg.multi_resolution:
         base_mask = cloud_lib.coarse_stride_mask(source, stride, index_offset)
     else:
@@ -213,7 +257,9 @@ def _iteration(
     src_pts = jnp.where(sel_mask[:, None], src_pts, anchor)
     src_nrm = se3.transform_normals(source.normals, pose)
     if stop_after == "selection":
-        return pose, _probe_trace(jnp.sum(src_pts) + jnp.sum(src_nrm))
+        return pose, match_cache, _probe_trace(
+            jnp.sum(src_pts) + jnp.sum(src_nrm)
+        )
 
     # --- stage 2: matching --------------------------------------------------
     if cfg.matching == Matching.PROJECTIVE:
@@ -234,9 +280,9 @@ def _iteration(
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)
         if kd_index is not None and target_index is not None:
-            idx, _d2, valid = kdtree.match_kd(
-                q, kd_index, target_index, cfg.max_distance,
-                query_mask=sel_mask,
+            idx, _d2, valid, match_cache = _match_kd_stage(
+                cfg, q, kd_index, target_index, sel_mask, sel_idx,
+                match_cache, target_feats,
             )
         elif target_index is not None:
             idx, _d2, valid = knn.match_indexed(
@@ -246,9 +292,9 @@ def _iteration(
             t = knn.color_features(target.points, target.colors)
             idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
     elif kd_index is not None and target_index is not None:
-        idx, _d2, valid = kdtree.match_kd(
-            src_pts, kd_index, target_index, cfg.max_distance,
-            query_mask=sel_mask,
+        idx, _d2, valid, match_cache = _match_kd_stage(
+            cfg, src_pts, kd_index, target_index, sel_mask, sel_idx,
+            match_cache, target_feats,
         )
     elif target_index is not None:
         idx, _d2, valid = knn.match_indexed(
@@ -259,7 +305,9 @@ def _iteration(
             src_pts, target.points, cfg.max_distance, query_mask=sel_mask
         )
     if stop_after == "matching":
-        return pose, _probe_trace(jnp.sum(_d2) + jnp.sum(idx) + jnp.sum(valid))
+        return pose, match_cache, _probe_trace(
+            jnp.sum(_d2) + jnp.sum(idx) + jnp.sum(valid)
+        )
     idx = jnp.clip(idx, 0, target.capacity - 1)
     valid = valid & target.valid[idx]
 
@@ -276,14 +324,14 @@ def _iteration(
     # --- stage 3: weighting (ICPOptimizer.h:271-272) ------------------------
     w = weighting.apply_weights(cfg.weighting, m, cfg.max_distance)
     if stop_after == "weighting":
-        return pose, _probe_trace(jnp.sum(w) + jnp.sum(m.tgt_points))
+        return pose, match_cache, _probe_trace(jnp.sum(w) + jnp.sum(m.tgt_points))
 
     # --- stage 4: rejection (ICPOptimizer.h:278-279) ------------------------
     if cfg.rejection:
         valid = rejection.normal_angle_mask(m.src_normals, m.tgt_normals, valid)
         m = m._replace(valid=valid)
     if stop_after == "rejection":
-        return pose, _probe_trace(
+        return pose, match_cache, _probe_trace(
             jnp.sum(w) + jnp.sum(m.valid) + jnp.sum(m.tgt_points)
         )
 
@@ -291,7 +339,7 @@ def _iteration(
     increment = _solve(cfg, m, w, axis_name=axis_name)
     new_pose = increment @ pose
     if stop_after == "solve":
-        return new_pose, _probe_trace(jnp.sum(increment))
+        return new_pose, match_cache, _probe_trace(jnp.sum(increment))
 
     # --- instrumentation (ICPOptimizer.h:315-317) ---------------------------
     # With the point axis sharded, gt rows shard alongside and the error
@@ -310,7 +358,9 @@ def _iteration(
     if axis_name is not None:
         num_matches = jax.lax.psum(num_matches, axis_name)
 
-    return new_pose, ICPTrace(rmse=rmse, benchmark=bench, num_matches=num_matches)
+    return new_pose, match_cache, ICPTrace(
+        rmse=rmse, benchmark=bench, num_matches=num_matches
+    )
 
 
 @functools.partial(
@@ -338,6 +388,7 @@ def _run_icp_jit(
     # index ONCE before the scan, exactly like the reference's one-time FLANN
     # buildIndex (ICPOptimizer.h:224-227).
     target_index = None
+    feats = None
     if cfg.matching == Matching.KNN:
         if cfg.color_icp:
             feats = knn.color_features(target.points, target.colors)
@@ -345,16 +396,26 @@ def _run_icp_jit(
             feats = target.points
         target_index = knn.build_target_index(feats, tile_t=knn.V2_TILE_T)
 
-    def body(pose, per_iter):
+    # Warm-start match cache: one slot per source-row granule, carried
+    # through the scan (None — an empty pytree — when warm start is off).
+    cache0 = None
+    if kd_index is not None and cfg.kd_warm_start:
+        n_granules = -(-source.points.shape[0] // cfg.kd_warm_granule)
+        cache0 = jnp.full((n_granules,), -1, jnp.int32)
+
+    def body(carry, per_iter):
+        pose, cache = carry
         stride, k = per_iter
-        new_pose, rec = _iteration(
+        new_pose, new_cache, rec = _iteration(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
             run_benchmark, target_index=target_index, kd_index=kd_index,
-            stop_after=stop_after,
+            stop_after=stop_after, match_cache=cache, target_feats=feats,
         )
-        return new_pose, rec
+        return (new_pose, new_cache), rec
 
-    final_pose, trace = jax.lax.scan(body, init_pose, (strides, keys))
+    (final_pose, _), trace = jax.lax.scan(
+        body, (init_pose, cache0), (strides, keys)
+    )
     return ICPResult(pose=final_pose, trace=trace)
 
 

@@ -352,3 +352,190 @@ class TestUnionKernel:
         agree = (np.asarray(i)[w] == iref[w]) | np.isclose(
             np.asarray(d2)[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
         assert agree.all()
+
+
+class TestWarmStart:
+    """Warm-start matching (nn_search_kd_radius / match_kd_warm): per-query
+    radii from cached previous matches must stay EXACT — the cached match
+    upper-bounds the NN distance, so the radius-complete membership covers
+    every block that could hold the NN."""
+
+    def test_radius_search_exact_vs_scipy(self):
+        q, t = _clouds(n_t=20000, n_q=1500, seed=5)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        tree = cKDTree(t)
+        dref, iref = tree.query(q, k=1, workers=-1)
+        d2ref = (dref * dref).astype(np.float32)
+        # Radii = exact distance to a cached match: the NN of a slightly
+        # different (previous-pose) query position.
+        q_prev = q + np.random.default_rng(6).normal(0, 0.05, q.shape).astype(
+            np.float32)
+        _, iprev = tree.query(q_prev, k=1, workers=-1)
+        cached_d2 = np.sum((q - t[iprev]) ** 2, axis=1).astype(np.float32)
+        radius = np.minimum(cached_d2 * (1 + 1e-6) + 1e-30, maxd * (1 + 1e-6))
+        i, d2 = kdtree.nn_search_kd_radius(
+            jnp.asarray(q), idx, maxd, jnp.asarray(radius), interpret=True)
+        i, d2 = np.asarray(i), np.asarray(d2)
+        found = i >= 0
+        # Found rows must be the true NN (or an exact-distance tie).
+        agree = (i[found] == iref[found]) | np.isclose(
+            d2[found], d2ref[found], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        # Not-found rows: nothing strictly beats the radius, so the cached
+        # match must BE the NN within one rounding step.
+        miss = ~found & (d2ref <= maxd)
+        assert np.isclose(
+            cached_d2[miss], d2ref[miss], rtol=1e-5, atol=1e-6).all()
+
+    def test_radius_search_frozen_and_full(self):
+        """Negative radii freeze queries out; bound-radius rows behave like
+        the plain radius search."""
+        q, t = _clouds(n_t=8000, n_q=512, seed=8)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        bound = np.float32(maxd) * (1 + 1e-6) + 1e-30
+        radius = np.full(len(q), bound, np.float32)
+        radius[::3] = -1.0
+        i, d2 = kdtree.nn_search_kd_radius(
+            jnp.asarray(q), idx, maxd, jnp.asarray(radius), interpret=True)
+        i, d2 = np.asarray(i), np.asarray(d2)
+        assert (i[::3] == -1).all()
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        live = np.ones(len(q), bool)
+        live[::3] = False
+        w = live & (d2ref <= maxd)
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        over = live & (d2ref > maxd)
+        assert (i[over] == -1).all()
+
+    def test_match_kd_warm_kernel_iterated(self):
+        """Three simulated ICP iterations through the TRUE kernel path
+        (interpret mode): the cache from each iteration warm-starts the
+        next; every iteration must match scipy at the current positions.
+        Covers zero-radius ties (cache hits), stale caches, cacheless rows
+        and masked rows."""
+        rng = np.random.default_rng(9)
+        q0, t = _clouds(n_t=15000, n_q=1024, seed=9)
+        idx = kdtree.build_kd_index(t)
+        tree = cKDTree(t)
+        maxd = 4.0
+        feats = jnp.asarray(t)
+        cache = np.full(len(q0), -1, np.int32)
+        mask = rng.random(len(q0)) > 0.1
+        for it in range(3):
+            q = (q0 + 0.04 * (2 - it) * rng.normal(0, 1, q0.shape)).astype(
+                np.float32)
+            i, d2, valid = kdtree.match_kd_warm(
+                jnp.asarray(q), idx, maxd, jnp.asarray(cache), feats,
+                query_mask=jnp.asarray(mask), impl="v2", interpret=True)
+            i, d2, valid = np.asarray(i), np.asarray(d2), np.asarray(valid)
+            dref, iref = tree.query(q, k=1, workers=-1)
+            d2ref = dref * dref
+            w = mask & (d2ref <= maxd)
+            assert (valid == w).all()
+            agree = (i[w] == iref[w]) | np.isclose(
+                d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+            assert agree.all()
+            assert (~valid[~mask]).all()
+            cache = np.where(valid, i, cache).astype(np.int32)
+
+    def test_match_kd_warm_exact_cache_hit(self):
+        """Queries exactly AT their cached match (radius 0): the backstop
+        must keep the cached match rather than dropping the row."""
+        rng = np.random.default_rng(10)
+        t = rng.normal(0, 1, (5000, 3)).astype(np.float32)
+        idx = kdtree.build_kd_index(t)
+        rows = rng.integers(0, 5000, 256)
+        q = t[rows]
+        cache = rows.astype(np.int32)
+        i, d2, valid = kdtree.match_kd_warm(
+            jnp.asarray(q), idx, 1.0, jnp.asarray(cache), jnp.asarray(t),
+            impl="v2", interpret=True)
+        i, d2 = np.asarray(i), np.asarray(d2)
+        assert np.asarray(valid).all()
+        # d2 must be ~0 everywhere (an exact point match; duplicates in the
+        # cloud may swap the index, distance is the contract).
+        assert (d2 < 1e-10).all()
+
+    def test_run_icp_warm_equals_cold(self):
+        """End-to-end: run_icp with warm start on vs off produces the same
+        trajectory (matches are identical up to ties by exactness)."""
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer, Selection,
+        )
+
+        rng = np.random.default_rng(12)
+        t = _clouds(n_t=30000, n_q=1)[1]
+        ang = 0.04
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        s = (t @ R.T + np.array([0.2, -0.1, 0.05], np.float32)).astype(
+            np.float32)
+        nrm = np.tile(np.array([0, 0, 1], np.float32), (len(t), 1))
+        source = from_numpy(s, normals=nrm, morton_order=True)
+        target = from_numpy(t, normals=nrm, morton_order=True)
+        kd = kdtree.build_kd_index(np.asarray(target.points),
+                                   np.asarray(target.valid))
+        base = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            selection=Selection.RANDOM, selection_proba=0.05,
+            n_iterations=8, max_distance=4.0,
+        )
+        key = jax.random.PRNGKey(3)
+        res_w = icp.run_icp(base.replace(kd_warm_start=True), source, target,
+                            key=key, kd_index=kd)
+        res_c = icp.run_icp(base.replace(kd_warm_start=False), source, target,
+                            key=key, kd_index=kd)
+        np.testing.assert_allclose(
+            np.asarray(res_w.pose), np.asarray(res_c.pose),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(res_w.trace.num_matches),
+            np.asarray(res_c.trace.num_matches))
+
+    def test_kd_warm_topk_capped_exact(self):
+        """nn_search_kd_warm (top-K cap INTERSECTED with radii) + the
+        certificate fallback through match_kd_warm: exact vs scipy at both
+        loose (bound) and tight radii, including forced certificate
+        failures at k=1."""
+        q, t = _clouds(n_t=15000, n_q=1024, seed=13)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        maxd = 4.0
+        tree = cKDTree(t)
+        dref, iref = tree.query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        bound = np.float32(maxd) * (1 + 1e-6) + 1e-30
+        for k, radius in [
+            (1, np.full(len(q), bound, np.float32)),          # loose, fail-prone
+            (4, np.full(len(q), bound, np.float32)),          # loose
+            (4, (d2ref * (1 + 1e-6) + 1e-30).astype(np.float32)),  # tight
+        ]:
+            _, _, fail = kdtree.nn_search_kd_warm(
+                jnp.asarray(q), idx, maxd, jnp.asarray(np.minimum(radius, bound)),
+                k=k, interpret=True)
+            cache = np.full(len(q), -1, np.int32)
+            if radius[0] != bound:
+                # Tight radii come from a cache pointing at the true NN.
+                cache = iref.astype(np.int32)
+            i, d2, valid = kdtree.match_kd_warm(
+                jnp.asarray(q), idx, maxd, jnp.asarray(cache), jnp.asarray(t),
+                fallback_index=tin, k=k, impl="v2", interpret=True)
+            i, d2 = np.asarray(i), np.asarray(d2)
+            w = d2ref <= maxd
+            agree = (i[w] == iref[w]) | np.isclose(
+                d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+            assert agree.all(), f"k={k}"
+            assert (np.asarray(valid) == w).all(), f"k={k}"
+        # k=1 at loose radii must actually have exercised failures.
+        _, _, fail1 = kdtree.nn_search_kd_warm(
+            jnp.asarray(q), idx, maxd,
+            jnp.asarray(np.full(len(q), bound, np.float32)),
+            k=1, interpret=True)
+        assert np.asarray(fail1).mean() > 0.01

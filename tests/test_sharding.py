@@ -72,7 +72,7 @@ def test_sharded_matches_single_device(mesh, metric, minimizer):
             points=jnp.asarray(arrays[4][i]), normals=jnp.asarray(arrays[5][i]),
             colors=jnp.asarray(arrays[6][i]), valid=jnp.asarray(arrays[7][i]),
         )
-        pose, _ = icp._iteration(
+        pose, _, _ = icp._iteration(
             cfg, source, target, jnp.eye(4), jnp.asarray(1, jnp.int32), keys[i],
             gt, gt, gtv, run_benchmark=False,
         )
