@@ -49,15 +49,36 @@ def main():
         for (_, _, tp, tn) in pairs
     ]
     targets = icp.stack_clouds(tclouds)
-    kds = kdtree.stack_kd_indexes([
-        kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
-        for t in tclouds
-    ])
 
-    def run_with(cfg, label):
+    kd_cache = {}
+
+    def kds_for(block_target):
+        if block_target not in kd_cache:
+            kd_cache[block_target] = kdtree.stack_kd_indexes([
+                kdtree.build_kd_index(
+                    np.asarray(t.points), np.asarray(t.valid),
+                    block_target=block_target,
+                )
+                for t in tclouds
+            ])
+        return kd_cache[block_target]
+
+    def run_with(cfg, label, block_target=768, b=None):
+        kds = kds_for(block_target)
+        src, tgt = sources, targets
+        if b is not None and b != bench.BATCH_PAIRS:
+            import jax.numpy as jnp
+
+            reps = -(-b // bench.BATCH_PAIRS)
+            tile = lambda x: jnp.concatenate([x] * reps)[:b]  # noqa: E731
+            src = jax.tree.map(tile, sources)
+            tgt = jax.tree.map(tile, targets)
+            kds = jax.tree.map(tile, kds)
+        nb = b or bench.BATCH_PAIRS
+
         def run(seed):
             res = icp.run_icp_batch(
-                cfg, sources, targets, key=jax.random.PRNGKey(seed),
+                cfg, src, tgt, key=jax.random.PRNGKey(seed),
                 kd_indexes=kds,
             )
             jax.device_get(res.pose)
@@ -69,7 +90,7 @@ def main():
         t0 = time.perf_counter()
         for s in range(3):
             run(s + 1)
-        dt = (time.perf_counter() - t0) / 3 / bench.BATCH_PAIRS
+        dt = (time.perf_counter() - t0) / 3 / nb
         nm = int(np.asarray(jax.device_get(res.trace.num_matches))[0, -1])
         log(
             f"{label:34s}: {1.0/dt:7.3f} pairs/s "
@@ -78,15 +99,16 @@ def main():
         )
 
     configs = [
-        (base.replace(kd_warm_start=False), "union (warm off)"),
-        (base, "warm G=128 K=4 (default)"),
-        (base.replace(kd_warm_granule=64), "warm G=64"),
-        (base.replace(kd_warm_granule=256), "warm G=256"),
-        (base.replace(kd_warm_granule=32), "warm G=32"),
+        (base, "warm G=128 bt=768 (default)", {}),
+        (base.replace(kd_warm_start=False), "union (warm off)", {}),
+        (base, "warm bt=512", {"block_target": 512}),
+        (base, "warm bt=384", {"block_target": 384}),
+        (base, "warm B=32", {"b": 32}),
+        (base.replace(kd_warm_granule=32), "warm G=32", {}),
     ]
-    for cfg, label in configs:
+    for cfg, label, kw in configs:
         try:
-            run_with(cfg, label)
+            run_with(cfg, label, **kw)
         except Exception as e:  # noqa: BLE001
             log(f"{label}: FAILED {type(e).__name__}: {str(e)[:150]}")
     log("done")
