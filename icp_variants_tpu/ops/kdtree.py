@@ -133,7 +133,20 @@ def build_kd_index(
     cap = -(-capacity // n_blocks)  # ceil: static upper bound on block size
     d = points.shape[1]
 
-    perm, blocks = kd_partition_np(points[rows], depth)
+    # Native (multi-core) partition when available; the numpy fallback is
+    # GIL-bound per node (~0.3 s at ETH scale — it would bottleneck a
+    # sweep against the >12 pairs/s device throughput). Geometry only:
+    # 6-dim color features split on their widest axis in the fallback, so
+    # keep exact numpy semantics there.
+    native_result = None
+    if d == 3:
+        from icp_variants_tpu.runtime import native as _native
+
+        native_result = _native.kd_partition(points[rows], depth)
+    if native_result is not None:
+        perm, blocks = native_result
+    else:
+        perm, blocks = kd_partition_np(points[rows], depth)
     pts = np.full((n_blocks, cap, d), LEAF_PAD, np.float32)
     block_orig = np.full((n_blocks, cap), -1, np.int32)
     block_min = np.full((n_blocks, d), np.inf, np.float32)

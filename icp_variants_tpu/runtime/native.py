@@ -57,6 +57,16 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ]
+            if hasattr(lib, "icpio_kd_partition"):
+                lib.icpio_kd_partition.restype = ctypes.c_int64
+                lib.icpio_kd_partition.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64,
+                ]
             if hasattr(lib, "icpio_parse_files_f32"):
                 lib.icpio_parse_files_f32.restype = ctypes.c_int64
                 lib.icpio_parse_files_f32.argtypes = [
@@ -137,3 +147,31 @@ def parse_floats_f32_batch(
             raise IOError(f"icpio failed to read {specs[i][0]}")
         results.append(a[: counts[i]])
     return results
+
+
+def kd_partition(points: np.ndarray, depth: int):
+    """Native widest-axis median partition (ops/kdtree.kd_partition_np
+    semantics): returns ``(perm, blocks)`` with ``blocks`` a list of
+    (start, count) in tree order, or None if the library is unavailable
+    or lacks the symbol. Splits only on the first 3 columns (geometry) —
+    6-dim color features partition on xyz exactly like FLANN's composite
+    index, so callers may pass either. Parallelized across subtrees on
+    all host cores (the numpy fallback is GIL-bound per node)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "icpio_kd_partition"):
+        return None
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    n = len(pts)
+    perm = np.arange(n, dtype=np.int64)
+    n_blocks = 1 << depth
+    starts = np.zeros(n_blocks, np.int64)
+    counts = np.zeros(n_blocks, np.int64)
+    lib.icpio_kd_partition(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, pts.strides[0] // 4, depth,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        0,
+    )
+    return perm, list(zip(starts.tolist(), counts.tolist()))

@@ -10,6 +10,7 @@
 // Build: `make` in this directory (produces libicpio.so), or let
 // icp_variants_tpu.runtime.native build it on first use.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -135,6 +136,99 @@ int64_t icpio_parse_files_f32(
   worker();
   for (auto& th : pool) th.join();
   return ok.load();
+}
+
+// Recursive widest-axis median partition of `n` 3-D points (xyz rows of
+// `points`, row-major (n, stride) with stride >= 3) to `depth` levels —
+// the host side of the framework's kd search index (ops/kdtree.py). Exact
+// floor/ceil halves at every split via std::nth_element, matching
+// kd_partition_np. `perm` must hold 0..n-1 on entry and is permuted in
+// place to block-grouped order; `starts`/`counts` receive the 2^depth
+// blocks' (start, count) in tree order. Subtrees parallelize across
+// `n_threads` workers once the level has enough nodes. Returns 0.
+static void kd_split_once(
+    const float* points, int64_t stride, int64_t* perm,
+    int64_t start, int64_t count, int64_t h) {
+  if (count <= 1) return;
+  float mins[3] = {1e30f, 1e30f, 1e30f};
+  float maxs[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = start; i < start + count; ++i) {
+    const float* q = points + perm[i] * stride;
+    for (int a = 0; a < 3; ++a) {
+      if (q[a] < mins[a]) mins[a] = q[a];
+      if (q[a] > maxs[a]) maxs[a] = q[a];
+    }
+  }
+  int ax = 0;
+  float best = maxs[0] - mins[0];
+  for (int a = 1; a < 3; ++a) {
+    if (maxs[a] - mins[a] > best) { best = maxs[a] - mins[a]; ax = a; }
+  }
+  std::nth_element(
+      perm + start, perm + start + h, perm + start + count,
+      [points, stride, ax](int64_t i, int64_t j) {
+        return points[i * stride + ax] < points[j * stride + ax];
+      });
+}
+
+static void kd_split_node(
+    const float* points, int64_t stride, int64_t* perm,
+    int64_t start, int64_t count, int level, int depth,
+    int64_t* starts, int64_t* counts, int64_t node_id) {
+  if (level == depth) {
+    starts[node_id] = start;
+    counts[node_id] = count;
+    return;
+  }
+  int64_t h = count / 2;
+  kd_split_once(points, stride, perm, start, count, h);
+  kd_split_node(points, stride, perm, start, h, level + 1, depth,
+                starts, counts, node_id * 2);
+  kd_split_node(points, stride, perm, start + h, count - h, level + 1,
+                depth, starts, counts, node_id * 2 + 1);
+}
+
+int64_t icpio_kd_partition(
+    const float* points, int64_t n, int64_t stride, int64_t depth,
+    int64_t* perm, int64_t* starts, int64_t* counts, int64_t n_threads) {
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int64_t)hw : 4;
+  }
+  // Split serially until there are >= n_threads nodes, then fan out the
+  // independent subtrees across the pool.
+  int fan_level = 0;
+  while ((1 << fan_level) < n_threads && fan_level < depth) ++fan_level;
+  struct Node { int64_t start, count, id; };
+  std::vector<Node> frontier;
+  frontier.push_back({0, n, 0});
+  for (int lvl = 0; lvl < fan_level; ++lvl) {
+    std::vector<Node> next;
+    for (size_t i = 0; i < frontier.size(); ++i) {
+      const Node nd = frontier[i];
+      int64_t h = nd.count / 2;
+      kd_split_once(points, stride, perm, nd.start, nd.count, h);
+      next.push_back({nd.start, h, nd.id * 2});
+      next.push_back({nd.start + h, nd.count - h, nd.id * 2 + 1});
+    }
+    frontier.swap(next);
+  }
+  std::atomic<int64_t> cursor(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = cursor.fetch_add(1);
+      if (i >= (int64_t)frontier.size()) return;
+      const Node& nd = frontier[i];
+      kd_split_node(points, stride, perm, nd.start, nd.count, fan_level,
+                    (int)depth, starts, counts, nd.id);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (std::vector<std::thread>::iterator it = pool.begin();
+       it != pool.end(); ++it) it->join();
+  return 0;
 }
 
 }  // extern "C"

@@ -156,3 +156,39 @@ class TestPrefetcher:
         wall = time.perf_counter() - t0
         # Serial would be ~0.4 s; overlapped ~0.25 s.
         assert wall < 0.35
+
+
+def test_native_kd_partition_matches_numpy_semantics():
+    """icpio_kd_partition must produce a valid widest-axis median
+    partition: a true permutation, exact floor/ceil half counts in tree
+    order, and disjoint sibling extents along each split axis."""
+    import numpy as np
+
+    from icp_variants_tpu.ops import kdtree
+    from icp_variants_tpu.runtime import native
+
+    if not native.available() or native.kd_partition(
+        np.zeros((4, 3), np.float32), 1
+    ) is None:
+        import pytest
+
+        pytest.skip("native kd partition unavailable")
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 5, (10007, 3)).astype(np.float32)
+    depth = 5
+    perm, blocks = native.kd_partition(pts, depth)
+    perm_np, blocks_np = kdtree.kd_partition_np(pts, depth)
+    assert sorted(perm.tolist()) == list(range(len(pts)))
+    # Same (start, count) structure as the numpy reference (counts depend
+    # only on n and the split rule, not on tie order).
+    assert [tuple(b) for b in blocks] == [tuple(b) for b in blocks_np]
+    # Blocks' boxes must be pairwise disjoint up to boundary planes.
+    lo = np.array([pts[perm[s:s + c]].min(0) for s, c in blocks])
+    hi = np.array([pts[perm[s:s + c]].max(0) for s, c in blocks])
+    inter = 0.0
+    vol = np.prod(np.maximum(hi - lo, 0), axis=1).sum()
+    for i in range(len(lo)):
+        l = np.maximum(lo[i], lo[i + 1:])
+        h = np.minimum(hi[i], hi[i + 1:])
+        inter += np.prod(np.maximum(h - l, 0), axis=1).sum()
+    assert inter < 1e-3 * vol
