@@ -50,6 +50,9 @@ LEAF_PAD = 1.0e9
 # with far narrower candidate sets; one block is ~512-1024 points).
 K_DEFAULT = 4
 BLOCK_TARGET = 768  # points per block at full occupancy
+# Query-tile width of the bitmap-kernel search paths (sweepable like
+# K_DEFAULT; resolved at trace time by the non-jitted wrappers).
+TILE_Q_DEFAULT = 128
 
 
 class KDIndex(NamedTuple):
@@ -579,7 +582,7 @@ def nn_search_kd_warm(
     radius: jax.Array,
     *,
     k: int | None = None,
-    tile_q: int = 128,
+    tile_q: int | None = None,
     chunk: int = 4,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -600,7 +603,8 @@ def nn_search_kd_warm(
     k = min(K_DEFAULT if k is None else k, nc)
     idx, d2, resid = _kd_bitmap_search(
         queries, index, float(max_distance), radius,
-        k=k, tile_q=tile_q, chunk=chunk, interpret=interpret,
+        k=k, tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
+        chunk=chunk, interpret=interpret,
     )
     fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
     return idx, d2, fail
@@ -616,6 +620,7 @@ def match_kd_warm(
     *,
     fallback_index=None,
     k: int | None = None,
+    tile_q: int | None = None,
     interpret: bool = False,
     impl: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -664,7 +669,7 @@ def match_kd_warm(
     elif impl == "v2":
         idx, d2, fail = nn_search_kd_warm(
             queries, index, float(max_distance), radius, k=k,
-            interpret=interpret,
+            tile_q=tile_q, interpret=interpret,
         )
         tile_t = fallback_index.points_t3.shape[2]
         fallback_vm = _make_fallback(

@@ -144,6 +144,7 @@ def _match_kd_stage(
     idx, d2, valid = kdtree.match_kd_warm(
         q, kd_index, cfg.max_distance, match_cache[granules], target_feats,
         query_mask=sel_mask, fallback_index=target_index,
+        tile_q=cfg.kd_warm_tile_q,
     )
     granules = jnp.where(valid, granules, gcap)
     new_cache = match_cache.at[granules].set(idx, mode="drop")

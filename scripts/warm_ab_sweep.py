@@ -101,6 +101,9 @@ def main():
     configs = [
         (base, "warm G=128 bt=768 (default)", {}),
         (base.replace(kd_warm_start=False), "union (warm off)", {}),
+        (base.replace(kd_warm_tile_q=64), "warm tile_q=64", {}),
+        (base.replace(kd_warm_tile_q=64), "warm tile_q=64 bt=384",
+         {"block_target": 384}),
         (base, "warm bt=512", {"block_target": 512}),
         (base, "warm bt=384", {"block_target": 384}),
         (base, "warm B=32", {"b": 32}),
