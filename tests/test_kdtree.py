@@ -539,3 +539,38 @@ class TestWarmStart:
             jnp.asarray(np.full(len(q), bound, np.float32)),
             k=1, interpret=True)
         assert np.asarray(fail1).mean() > 0.01
+
+    def test_kd_warm_batched_custom_vmap(self):
+        """The bitmap kernel's custom-vmap rule (pair axis flattened into
+        the kernel grid: one launch per batch) must match per-pair calls
+        exactly, including pair-local page indexing."""
+        B = 3
+        qs, ts, idxs = [], [], []
+        for b in range(B):
+            q, t = _clouds(n_t=6000, n_q=512, seed=20 + b)
+            qs.append(q)
+            ts.append(t)
+            idxs.append(kdtree.build_kd_index(t))
+        maxd = 4.0
+        bound = np.float32(maxd) * (1 + 1e-6) + 1e-30
+        radii = jnp.asarray(
+            np.full((B, 512), bound, np.float32).astype(np.float32))
+        qb = jnp.asarray(np.stack(qs))
+        kd = kdtree.stack_kd_indexes(idxs)
+        ib, d2b, fb = jax.vmap(
+            lambda q, k, r: kdtree.nn_search_kd_warm(
+                q, k, maxd, r, interpret=True),
+            (0, 0, 0),
+        )(qb, kd, radii)
+        for b in range(B):
+            i1, d21, f1 = kdtree.nn_search_kd_warm(
+                jnp.asarray(qs[b]), idxs[b], maxd, radii[b], interpret=True)
+            np.testing.assert_array_equal(np.asarray(ib[b]), np.asarray(i1))
+            np.testing.assert_allclose(
+                np.asarray(d2b[b]), np.asarray(d21), rtol=0, atol=0)
+            np.testing.assert_array_equal(np.asarray(fb[b]), np.asarray(f1))
+            dref, iref = cKDTree(ts[b]).query(qs[b], k=1, workers=-1)
+            w = (dref * dref <= maxd) & ~np.asarray(fb[b])
+            agree = (np.asarray(ib[b])[w] == iref[w]) | np.isclose(
+                np.asarray(d2b[b])[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
+            assert agree.all()
