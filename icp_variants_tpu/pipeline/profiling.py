@@ -318,20 +318,40 @@ def kernel_efficiency(
     q = jnp.where(sel_mask[:, None], q, anchor)
 
     if kd_index is not None:
-        # kd block search: every query gathers K whole block rows and takes
-        # direct-difference distances over each candidate; the lb/extract
-        # ranking adds one (nq x n_blocks x D) pass.
+        # Warm bitmap search (the production kd path): each query tile
+        # DMAs its hot+cold member block pages once and takes direct-
+        # difference distances for every (query, candidate); the prefix
+        # kernel adds one (nq x n_blocks x D) lb pass in VMEM. Membership
+        # here is the top-K union at the threshold radius — the iteration-0
+        # upper bound (warm radii can only shrink it).
         from icp_variants_tpu.ops import kdtree
 
-        nc, dcap = kd_index.block_pts.shape
+        nc = kd_index.pages.shape[0]
         d = kd_index.block_min.shape[1]
-        cap = dcap // d
-        nq = int(q.shape[0])
+        cap_pad = kd_index.pages.shape[2]
+        tq = cfg.kd_warm_tile_q or kdtree.TILE_Q_DEFAULT
         kk = min(kdtree.K_DEFAULT, nc)
-        m_bytes = nq * kk * dcap * 4
-        m_flops = nq * (kk * cap * (3 * d + 2) + nc * (3 * d + 2))
+        qp = knn._pad_rows(
+            knn._pad_features(q), kdtree._PREFIX_GROUP * tq, 0.0
+        )
+        lb = kdtree._box_lb(qp[:, :d], kd_index.block_min, kd_index.block_max)
+        sel, _ = kdtree._extract_min(lb, kk)
+        nqt = qp.shape[0] // tq
+        rows_t = (jnp.arange(qp.shape[0], dtype=jnp.int32) // tq)[:, None]
+        member = jnp.zeros((nqt, nc), bool)
+        member = member.at[
+            jnp.broadcast_to(rows_t, sel.shape).reshape(-1), sel.reshape(-1)
+        ].set(True)
+        visited = int(jax.device_get(jnp.sum(member)))
+        nq = int(q.shape[0])
+        m_bytes = visited * 8 * cap_pad * 4
+        m_flops = (
+            visited * cap_pad * tq * (3 * d + 2)   # kernel distances
+            + nq * nc * (3 * d + 2)                # prefix lb pass (VMEM)
+        )
         matcher_line = (
-            f"  kd matcher: {nq} queries x {kk} blocks x {cap} pts: "
+            f"  kd warm matcher: {visited} member blocks/iter "
+            f"({visited / max(nqt, 1):.1f}/tile of {nc}): "
             f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
         )
     else:

@@ -90,3 +90,35 @@ class TestAnalysis:
         out = str(tmp_path / "plot.png")
         generate_plot.plot_curves([f1, f2], ["a", "b"], out)
         assert os.path.getsize(out) > 1000
+
+
+def test_kernel_efficiency_kd_branch():
+    """The kd (warm bitmap) branch of the efficiency report: member-block
+    accounting at a sparse-selection config."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
+    from icp_variants_tpu.pipeline import profiling
+    from icp_variants_tpu.pipeline.config import (
+        ICPConfig, Metric, Minimizer, Selection,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, (30000, 3)).astype(np.float32)
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (30000, 1))
+    cloud = cloud_lib.from_numpy(pts, normals=nrm, morton_order=True)
+    cfg = ICPConfig(
+        metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+        selection=Selection.RANDOM, selection_proba=0.02,
+        n_iterations=3, max_distance=4.0,
+    )
+    kd = kdtree.build_kd_index(np.asarray(cloud.points),
+                               np.asarray(cloud.valid))
+    report = profiling.kernel_efficiency(
+        cfg, cloud, cloud, matching_time=1e-3, solver_time=1e-4,
+        kd_index=kd,
+    )
+    assert "kd warm matcher" in report
+    assert "member blocks/iter" in report
