@@ -92,20 +92,32 @@ def bench_tpu(pairs, selection, use_kd=True):
     # (NearestNeighbor.h:122-141) — amortized across the 50-iteration run
     # exactly like the reference's.
     kd_indexes = None
+    query_orders = None
     if use_kd:
-        kd_indexes = kdtree.stack_kd_indexes(
-            [
-                kdtree.build_kd_index(
-                    np.asarray(t.points), np.asarray(t.valid)
-                )
-                for t in target_clouds
-            ]
-        )
+        kds = [
+            kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
+            for t in target_clouds
+        ]
+        kd_indexes = kdtree.stack_kd_indexes(kds)
+        # Block-aligned query enumeration (host, one-time): same Bernoulli
+        # set distribution, tiles clustered on ~the information-floor
+        # number of target blocks.
+        orders = [
+            kdtree.build_query_order(
+                np.asarray(s.points), np.asarray(s.valid), kd
+            )
+            for s, kd in zip(
+                (cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+                 for (sp, sn, _, _) in pairs),
+                kds,
+            )
+        ]
+        query_orders = np.stack(orders)
 
     def run(seed):
         res = icp.run_icp_batch(
             cfg, sources, targets, key=jax.random.PRNGKey(seed),
-            kd_indexes=kd_indexes,
+            kd_indexes=kd_indexes, query_orders=query_orders,
         )
         # device_get forces a real device->host transfer; plain
         # block_until_ready is unreliable over this environment's tunneled

@@ -100,6 +100,7 @@ def register(
         gt_tgt = np.asarray(gt_target_points, np.float32)
         gt_valid = None
 
+    kd_index = icp_mod.build_kd_for(config, target)
     res = icp_mod.run_icp(
         config, source, target,
         init_pose=initial_pose,
@@ -110,7 +111,10 @@ def register(
         run_benchmark=run_benchmark,
         # Large targets match through the per-query kd path (the bench
         # headline's production matcher); None for small/projective runs.
-        kd_index=icp_mod.build_kd_for(config, target),
+        kd_index=kd_index,
+        query_order=icp_mod.build_query_order_for(
+            config, source, kd_index, initial_pose
+        ),
     )
     return RegistrationResult(
         pose=np.asarray(jax.device_get(res.pose)),

@@ -168,6 +168,7 @@ def _iteration(
     stop_after: str | None = None,
     match_cache: jax.Array | None = None,
     target_feats: jax.Array | None = None,
+    query_order: jax.Array | None = None,
 ):
     """One pipeline iteration; returns ``(pose, match_cache, trace)``.
 
@@ -176,6 +177,11 @@ def _iteration(
     warm-start kd matching; threaded unchanged when warm start is off.
     ``target_feats`` is the original-row feature table distances are
     measured in (points, or color features under color-ICP).
+    ``query_order`` (a (capacity,) host-built permutation,
+    kdtree.build_query_order) re-enumerates rows for the compacted random
+    selections so each query tile clusters by target kd block — the
+    Bernoulli/stratified set distributions are unchanged (exchangeable
+    draws), only the buffer order differs.
     """
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
@@ -212,6 +218,8 @@ def _iteration(
             key, cfg.selection_proba, sel_stride, source.capacity, k_cap,
             index_offset=index_offset,
         )
+        if query_order is not None:
+            sel_idx = query_order[sel_idx]
         if cfg.multi_resolution:
             residual = source.valid & jnp.isfinite(source.normals).all(axis=1)
         else:
@@ -235,6 +243,8 @@ def _iteration(
         sel_idx, sel_mask = selection.random_indices(
             key, source.capacity, n_draw, k_cap
         )
+        if query_order is not None:
+            sel_idx = query_order[sel_idx]
         sel_mask = sel_mask & base_mask[sel_idx]
         source = Cloud(
             points=jnp.where(
@@ -382,6 +392,7 @@ def _run_icp_jit(
     run_benchmark: bool,
     stop_after: str | None = None,
     kd_index: kdtree.KDIndex | None = None,
+    query_order: jax.Array | None = None,
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
@@ -411,6 +422,7 @@ def _run_icp_jit(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
             run_benchmark, target_index=target_index, kd_index=kd_index,
             stop_after=stop_after, match_cache=cache, target_feats=feats,
+            query_order=query_order,
         )
         return (new_pose, new_cache), rec
 
@@ -434,6 +446,7 @@ def run_icp(
     num_source_points: int | None = None,
     stop_after: str | None = None,
     kd_index: kdtree.KDIndex | None = None,
+    query_order: jax.Array | np.ndarray | None = None,
 ) -> ICPResult:
     """Estimate the pose aligning ``source`` onto ``target``.
 
@@ -492,6 +505,9 @@ def run_icp(
         run_benchmark,
         stop_after=stop_after,
         kd_index=kd_index,
+        query_order=(
+            None if query_order is None else jnp.asarray(query_order)
+        ),
     )
 
 
@@ -511,16 +527,17 @@ def _run_icp_batch_jit(
     gt_valid: jax.Array,    # (B, G)
     run_benchmark: bool,
     kd_indexes: kdtree.KDIndex | None = None,  # leading batch axis per leaf
+    query_orders: jax.Array | None = None,     # (B, capacity) or None
 ) -> ICPResult:
-    def one(source, target, pose0, key, gs, gtv_, gv, kd):
+    def one(source, target, pose0, key, gs, gtv_, gv, kd, qo):
         return _run_icp_jit(
             cfg, num_iterations, source, target, pose0, strides, key,
-            gs, gtv_, gv, run_benchmark, kd_index=kd,
+            gs, gtv_, gv, run_benchmark, kd_index=kd, query_order=qo,
         )
 
     return jax.vmap(one)(
         sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid,
-        kd_indexes,
+        kd_indexes, query_orders,
     )
 
 
@@ -537,6 +554,7 @@ def run_icp_batch(
     run_benchmark: bool = False,
     num_source_points: int | None = None,
     kd_indexes: kdtree.KDIndex | None = None,
+    query_orders=None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
@@ -578,6 +596,9 @@ def run_icp_batch(
         cfg, int(strides.shape[0]), sources, targets,
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
         gt_src, gt_tgt, gtv, run_benchmark, kd_indexes=kd_indexes,
+        query_orders=(
+            None if query_orders is None else jnp.asarray(query_orders)
+        ),
     )
 
 
@@ -594,6 +615,31 @@ KD_MIN_POINTS = 20_000
 # threshold the radius-pruned visited-list kernel wins instead (measured
 # on the TUM room tracker: 51 vs 32 ms/iter, scripts/bench_projective_log).
 KD_MAX_SELECTION_P = 0.05
+
+
+def build_query_order_for(
+    cfg: ICPConfig,
+    source: Cloud,
+    kd_index: kdtree.KDIndex | None,
+    init_pose=None,
+) -> np.ndarray | None:
+    """Host-side block-aligned query enumeration (kdtree.build_query_order)
+    when the kd warm path will run with compacted random selection; None
+    otherwise. Selection distributions are unchanged (exchangeability);
+    only the compacted buffer's ORDER changes, clustering each query tile
+    on ~the information-floor number of target blocks."""
+    if kd_index is None or not cfg.kd_warm_start:
+        return None
+    if cfg.selection not in (Selection.RANDOM, Selection.RANDOM_FAST):
+        return None
+    if cfg.selection == Selection.RANDOM and not cfg.compact_queries:
+        return None
+    return kdtree.build_query_order(
+        np.asarray(jax.device_get(source.points)),
+        np.asarray(jax.device_get(source.valid)),
+        kd_index,
+        None if init_pose is None else np.asarray(jax.device_get(init_pose)),
+    )
 
 
 def build_kd_for(

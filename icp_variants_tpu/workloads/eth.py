@@ -171,6 +171,18 @@ def align_eth_batch(
 
         batch_src = icp.stack_clouds(sources)
         batch_tgt = icp.stack_clouds(targets)
+        query_orders = None
+        if kd_indexes is not None:
+            per_pair_kds = [
+                jax.tree.map(lambda x, i=i: x[i], kd_indexes)
+                for i in range(len(sources))
+            ]
+            orders = [
+                icp.build_query_order_for(cfg, src, kd)
+                for src, kd in zip(sources, per_pair_kds)
+            ]
+            if all(o is not None for o in orders):
+                query_orders = np.stack(orders)
         res = icp.run_icp_batch(
             cfg, batch_src, batch_tgt,
             gt_source_points=np.stack([np.asarray(s.points) for s in sources]),
@@ -179,6 +191,7 @@ def align_eth_batch(
             key=jax.random.PRNGKey(seed + start),
             run_benchmark=True,
             kd_indexes=kd_indexes,
+            query_orders=query_orders,
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))
@@ -267,6 +280,7 @@ def align_eth(
         initial_rmse = float(jax.device_get(measure.rmse_alignment_error(
             eye, source.points, jnp.asarray(original_points), source.valid)))
 
+        kd_index = icp.build_kd_for(cfg, sample.target)
         res = icp.run_icp(
             cfg, source, sample.target,
             gt_source_points=np.asarray(source.points),
@@ -274,7 +288,8 @@ def align_eth(
             gt_valid=gt_valid,
             key=jax.random.PRNGKey(seed + index),
             run_benchmark=True,
-            kd_index=icp.build_kd_for(cfg, sample.target),
+            kd_index=kd_index,
+            query_order=icp.build_query_order_for(cfg, source, kd_index),
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))

@@ -48,15 +48,26 @@ def main():
         for (_, _, tp, tn) in pairs
     ]
     targets = icp.stack_clouds(tclouds)
-    kds = kdtree.stack_kd_indexes([
+    kd_list = [
         kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
         for t in tclouds
+    ]
+    kds = kdtree.stack_kd_indexes(kd_list)
+    sclouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    query_orders = np.stack([
+        kdtree.build_query_order(
+            np.asarray(s.points), np.asarray(s.valid), kd
+        )
+        for s, kd in zip(sclouds, kd_list)
     ])
 
     def run(seed):
         res = icp.run_icp_batch(
             cfg, sources, targets, key=jax.random.PRNGKey(seed),
-            kd_indexes=kds,
+            kd_indexes=kds, query_orders=query_orders,
         )
         jax.device_get(res.pose)
 

@@ -63,8 +63,28 @@ def main():
             ])
         return kd_cache[block_target]
 
-    def run_with(cfg, label, block_target=768, b=None):
+    sclouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+
+    def orders_for(cfg, block_target):
+        kds = kd_cache[block_target]
+        per_pair = [
+            jax.tree.map(lambda x, i=i: x[i], kds)
+            for i in range(len(sclouds))
+        ]
+        out = [
+            icp.build_query_order_for(cfg, s, kd)
+            for s, kd in zip(sclouds, per_pair)
+        ]
+        if any(o is None for o in out):
+            return None
+        return np.stack(out)
+
+    def run_with(cfg, label, block_target=768, b=None, qorder=True):
         kds = kds_for(block_target)
+        qos = orders_for(cfg, block_target) if qorder else None
         src, tgt = sources, targets
         if b is not None and b != bench.BATCH_PAIRS:
             import jax.numpy as jnp
@@ -74,12 +94,14 @@ def main():
             src = jax.tree.map(tile, sources)
             tgt = jax.tree.map(tile, targets)
             kds = jax.tree.map(tile, kds)
+            if qos is not None:
+                qos = np.concatenate([qos] * reps)[:b]
         nb = b or bench.BATCH_PAIRS
 
         def run(seed):
             res = icp.run_icp_batch(
                 cfg, src, tgt, key=jax.random.PRNGKey(seed),
-                kd_indexes=kds,
+                kd_indexes=kds, query_orders=qos,
             )
             jax.device_get(res.pose)
             return res
@@ -100,7 +122,9 @@ def main():
 
     configs = [
         (base, "warm G=128 bt=768 (default)", {}),
-        (base.replace(kd_warm_start=False), "union (warm off)", {}),
+        (base, "warm NO query order", {"qorder": False}),
+        (base.replace(kd_warm_start=False), "union (warm off)",
+         {"qorder": False}),
         (base.replace(kd_warm_tile_q=64), "warm tile_q=64", {}),
         (base.replace(kd_warm_tile_q=64), "warm tile_q=64 bt=384",
          {"block_target": 384}),
