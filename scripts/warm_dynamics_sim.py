@@ -165,5 +165,66 @@ def main():
     log("done")
 
 
+def qorder_effect():
+    """Membership counts with vs without the block-aligned enumeration at
+    bench conditions (pose converged; radii = granule-level)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import bench
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
+
+    sp, sn, tp, tn = bench.make_pairs()[0]
+    sc = cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+    tc = cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+    spts = np.asarray(sc.points)
+    tpts = np.asarray(tc.points)
+    kd = kdtree.build_kd_index(tpts, np.asarray(tc.valid))
+    bmin, bmax = np.asarray(kd.block_min), np.asarray(kd.block_max)
+    order = kdtree.build_query_order(
+        spts, np.asarray(sc.valid), kd
+    )
+    tree = cKDTree(tpts)
+    rng = np.random.default_rng(1)
+    n = len(spts)
+    K, TILE = 4, 128
+
+    def lb_blocks(q):
+        gap = np.maximum(
+            np.maximum(bmin[None] - q[:, None], q[:, None] - bmax[None]), 0
+        )
+        return (gap * gap).sum(-1)
+
+    for name, enum in (("morton", np.arange(n)), ("block-aligned", order)):
+        pos = np.flatnonzero(rng.random(n) < 0.01)
+        sel = enum[pos]
+        q = spts[sel]  # converged pose: source ~ target frame + perturb
+        lb = lb_blocks(q.astype(np.float32))
+        topk = np.zeros_like(lb, bool)
+        np.put_along_axis(
+            topk, np.argsort(lb, axis=1)[:, :K], True, axis=1
+        )
+        qm = q + rng.normal(0, 0.4, q.shape).astype(np.float32)
+        _, im = tree.query(qm, k=1, workers=-1)
+        r = np.minimum(((q - tpts[im]) ** 2).sum(1) * (1 + 1e-6), 10.0)
+        member = topk & (lb <= r[:, None])
+        hot = member & (lb <= 0.0)
+        npad = -(-len(q) // TILE) * TILE
+        mt = np.zeros((npad, member.shape[1]), bool)
+        ht = np.zeros_like(mt)
+        mt[: len(q)] = member
+        ht[: len(q)] = hot
+        mtile = mt.reshape(-1, TILE, member.shape[1]).any(1)
+        htile = ht.reshape(-1, TILE, member.shape[1]).any(1)
+        log(
+            f"qorder[{name:13s}]: blocks/tile {mtile.sum(1).mean():5.1f} "
+            f"(hot {htile.sum(1).mean():4.1f}, max {mtile.sum(1).max()})"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--qorder" in sys.argv:
+        qorder_effect()
+    else:
+        main()
