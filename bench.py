@@ -51,7 +51,7 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
-def bench_tpu(pairs, selection, use_kd=True, warm=None):
+def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
     """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
     (the ETH sweep's data-parallel axis, run on one chip). Returns
     seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
@@ -96,6 +96,7 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None):
     kd_indexes = None
     query_orders = None
     if use_kd:
+        build_orders = qorder
         kds = [
             kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
             for t in target_clouds
@@ -104,17 +105,18 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None):
         # Block-aligned query enumeration (host, one-time): same Bernoulli
         # set distribution, tiles clustered on ~the information-floor
         # number of target blocks.
-        orders = [
-            kdtree.build_query_order(
-                np.asarray(s.points), np.asarray(s.valid), kd
-            )
-            for s, kd in zip(
-                (cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-                 for (sp, sn, _, _) in pairs),
-                kds,
-            )
-        ]
-        query_orders = np.stack(orders)
+        if build_orders:
+            orders = [
+                kdtree.build_query_order(
+                    np.asarray(s.points), np.asarray(s.valid), kd
+                )
+                for s, kd in zip(
+                    (cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+                     for (sp, sn, _, _) in pairs),
+                    kds,
+                )
+            ]
+            query_orders = np.stack(orders)
 
     def run(seed):
         res = icp.run_icp_batch(
@@ -200,10 +202,16 @@ def main():
     # warm and cold (union) matchers and report the faster as headline —
     # identical results either way (exactness tests cover both).
     # RANDOM_FAST is reported alongside with the winning matcher.
+    # The cold run is the exact configuration of the last hardware-measured
+    # headline (union matcher, no query reordering): the headline can pick
+    # up the warm matcher's win but never regress below the proven config.
     dt_warm = bench_tpu(pairs, Selection.RANDOM, warm=True)
-    dt_cold = bench_tpu(pairs, Selection.RANDOM, warm=False)
+    dt_cold = bench_tpu(pairs, Selection.RANDOM, warm=False, qorder=False)
     dt_tpu = min(dt_warm, dt_cold)
-    dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST, warm=dt_warm <= dt_cold)
+    warm_won = dt_warm <= dt_cold
+    dt_fast = bench_tpu(
+        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=warm_won
+    )
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).
     src_pts, _, tgt_pts, _ = pairs[0]
