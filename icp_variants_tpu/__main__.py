@@ -49,6 +49,11 @@ def main(argv=None) -> int:
         "--downsample", type=int,
         help="load-time stride subsampling of huge clouds (extension)",
     )
+    e.add_argument(
+        "--checkpoint-dir",
+        help="batched runner: write per-batch sweep checkpoints here and "
+        "resume a crashed run from the first incomplete batch",
+    )
 
     x = sub.add_parser("experiments", help="CSV config-matrix sweep")
     x.add_argument("config_csv")
@@ -108,6 +113,7 @@ def main(argv=None) -> int:
                 args.pose_csv, cfg, pose_scaling=args.pose_scaling,
                 max_pairs=args.max_pairs, batch_size=args.batch,
                 downsample=args.downsample,
+                checkpoint_dir=args.checkpoint_dir,
             )
         else:
             res = eth.align_eth(

@@ -113,11 +113,20 @@ def align_eth_batch(
     batch_size: int = 4,
     seed: int = 0,
     downsample: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> ETHRunResult:
     """Data-parallel ETH sweep: registers ``batch_size`` scan pairs per
     compiled program (``run_icp_batch``). Requires a common ``capacity`` so
     all pairs share one executable; defaults to the max cloud size found in
     the first batch, rounded up.
+
+    ``checkpoint_dir`` enables crash-safe incremental checkpointing: after
+    every completed batch the accumulated per-pair results (poses,
+    perturbations, error curves) are written atomically, and a rerun with
+    the same configuration resumes from the first incomplete batch —
+    the in-process analog of the reference's incrementally-written
+    per-pair error files (main.cpp:479-480) extended to full sweep state
+    (SURVEY §5 checkpoint/resume).
     """
     cfg = cfg or default_config()
     loader = ETHDataLoader(
@@ -156,6 +165,21 @@ def align_eth_batch(
         list(range(start, min(start + batch_size, n)))
         for start in range(0, n, batch_size)
     ]
+    ckpt = (
+        _SweepCheckpoint(checkpoint_dir, csv_path, cfg, n, batch_size,
+                         pose_scaling, seed)
+        if checkpoint_dir is not None
+        else None
+    )
+    if ckpt is not None:
+        done = ckpt.load_into(result)
+        if done:
+            logger.info("resumed %d completed pairs from %s",
+                        len(done), ckpt.path)
+        batch_indices = [
+            idxs for idxs in batch_indices
+            if not all(i in done for i in idxs)
+        ]
     prefetched = Prefetcher(batch_indices, load_batch, depth=1)
     for idxs, (samples, kd_indexes) in zip(batch_indices, prefetched):
         start = idxs[0]
@@ -222,8 +246,100 @@ def align_eth_batch(
             rel = final_error / max(initial_error, 1e-30)
             if rel < result.min_relative_error:
                 result.min_relative_error, result.index_min_relative_error = rel, index
+        if ckpt is not None:
+            ckpt.save(result)
 
+    result.pairs.sort(key=lambda p: p.index)
     return result
+
+
+class _SweepCheckpoint:
+    """Atomic npz checkpoint of an ETH sweep's accumulated pair results.
+
+    The manifest (config repr, csv path, pair count, batching, seed) guards
+    against resuming into a different run; the state file is replaced
+    atomically after each batch so a crash never leaves a torn checkpoint.
+    """
+
+    def __init__(self, directory, csv_path, cfg, n, batch_size,
+                 pose_scaling, seed):
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, "eth_sweep.npz")
+        self.manifest = dict(
+            csv=os.path.abspath(csv_path), cfg=repr(cfg), n=int(n),
+            batch_size=int(batch_size), pose_scaling=float(pose_scaling),
+            seed=int(seed),
+        )
+
+    def load_into(self, result: "ETHRunResult") -> set:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return set()
+        with np.load(self.path, allow_pickle=False) as z:
+            manifest = json.loads(str(z["manifest"]))
+            if manifest != self.manifest:
+                logger.warning(
+                    "checkpoint %s belongs to a different run config; "
+                    "ignoring it", self.path,
+                )
+                return set()
+            for row, index in enumerate(z["indices"]):
+                pair = ETHPairResult(
+                    index=int(index),
+                    initial_error=float(z["initial_errors"][row]),
+                    final_error=float(z["final_errors"][row]),
+                    initial_rmse=float(z["initial_rmses"][row]),
+                    final_rmse=float(z["final_rmses"][row]),
+                    rmse_per_iteration=z["rmse_curves"][row],
+                    benchmark_per_iteration=z["benchmark_curves"][row],
+                    pose=z["poses"][row],
+                    perturbation=z["perturbations"][row],
+                )
+                result.pairs.append(pair)
+                if pair.final_error < result.min_error:
+                    result.min_error = pair.final_error
+                    result.index_min_error = pair.index
+                rel = pair.final_error / max(pair.initial_error, 1e-30)
+                if rel < result.min_relative_error:
+                    result.min_relative_error = rel
+                    result.index_min_relative_error = pair.index
+        return {p.index for p in result.pairs}
+
+    def save(self, result: "ETHRunResult") -> None:
+        import json
+        import os
+        import tempfile
+
+        pairs = sorted(result.pairs, key=lambda p: p.index)
+        payload = dict(
+            manifest=np.asarray(json.dumps(self.manifest)),
+            indices=np.asarray([p.index for p in pairs], np.int32),
+            initial_errors=np.asarray([p.initial_error for p in pairs]),
+            final_errors=np.asarray([p.final_error for p in pairs]),
+            initial_rmses=np.asarray([p.initial_rmse for p in pairs]),
+            final_rmses=np.asarray([p.final_rmse for p in pairs]),
+            rmse_curves=np.stack([p.rmse_per_iteration for p in pairs]),
+            benchmark_curves=np.stack(
+                [p.benchmark_per_iteration for p in pairs]
+            ),
+            poses=np.stack([p.pose for p in pairs]),
+            perturbations=np.stack([p.perturbation for p in pairs]),
+        )
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.path), suffix=".npz.tmp"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
 
 def refine_trajectory(result: ETHRunResult, weights: np.ndarray | None = None):

@@ -200,6 +200,47 @@ class TestETHBatch:
             )
             assert p_bat.final_error < p_bat.initial_error * 0.5
 
+    def test_sweep_checkpoint_resume(self, tmp_path):
+        """Checkpointed sweep: a rerun resumes completed batches verbatim,
+        a truncated (crash-simulating) checkpoint recomputes only the
+        missing batch bit-identically, and a checkpoint from a different
+        config is ignored."""
+        csv_path = make_eth_sequence(tmp_path, n_pairs=4)
+        cfg = eth.default_config(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            n_iterations=6, max_distance=0.05,
+        )
+        ck = str(tmp_path / "ckpt")
+        kw = dict(pose_scaling=0.5, capacity=512, batch_size=2, seed=0,
+                  checkpoint_dir=ck)
+        full = eth.align_eth_batch(csv_path, cfg, **kw)
+        assert len(full.pairs) == 4
+
+        # Complete checkpoint: everything restored, nothing recomputed.
+        resumed = eth.align_eth_batch(csv_path, cfg, **kw)
+        for pf, pr in zip(full.pairs, resumed.pairs):
+            np.testing.assert_array_equal(pf.pose, pr.pose)
+            assert pf.final_error == pr.final_error
+
+        # Simulated crash after batch 1: drop the second batch from the
+        # checkpoint; the rerun recomputes exactly that batch with the same
+        # per-batch PRNG key, so results are bit-identical to the full run.
+        ckobj = eth._SweepCheckpoint(ck, csv_path, cfg, 4, 2, 0.5, 0)
+        partial = eth.ETHRunResult()
+        assert ckobj.load_into(partial) == {0, 1, 2, 3}
+        partial.pairs = [p for p in partial.pairs if p.index < 2]
+        ckobj.save(partial)
+        recomputed = eth.align_eth_batch(csv_path, cfg, **kw)
+        for pf, pr in zip(full.pairs, recomputed.pairs):
+            np.testing.assert_array_equal(pf.pose, pr.pose)
+
+        # A checkpoint written under a different config must be ignored.
+        other = eth.align_eth_batch(
+            csv_path, cfg.replace(n_iterations=7), **kw
+        )
+        assert len(other.pairs) == 4
+        assert other.pairs[0].rmse_per_iteration.shape[0] == 7
+
     def test_trajectory_refinement(self, tmp_path):
         csv_path = make_eth_sequence(tmp_path, n_pairs=3)
         cfg = eth.default_config(
