@@ -79,12 +79,11 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
     )
     if warm is not None:
         cfg = cfg.replace(kd_warm_start=warm)
-    sources = icp.stack_clouds(
-        [
-            cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-            for (sp, sn, _, _) in pairs
-        ]
-    )
+    source_clouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    sources = icp.stack_clouds(source_clouds)
     target_clouds = [
         cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
         for (_, _, tp, tn) in pairs
@@ -110,11 +109,7 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
                 kdtree.build_query_order(
                     np.asarray(s.points), np.asarray(s.valid), kd
                 )
-                for s, kd in zip(
-                    (cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-                     for (sp, sn, _, _) in pairs),
-                    kds,
-                )
+                for s, kd in zip(source_clouds, kds)
             ]
             query_orders = np.stack(orders)
 

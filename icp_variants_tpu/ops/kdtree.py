@@ -708,6 +708,7 @@ def match_kd_warm(
     if impl == "v2" and (k == 0 or fallback_index is None):
         idx, d2 = nn_search_kd_radius(
             queries, index, float(max_distance), radius,
+            tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
             interpret=interpret,
         )
     elif impl == "v2":

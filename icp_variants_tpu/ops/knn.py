@@ -869,11 +869,12 @@ def _make_bitmap_kernel(
     query has seen its own block); cold chunks gate on "any in-count block
     with lb <= wb" with the FROZEN, quantized-UP wb — exact because the
     per-tile lb is a min over the tile's queries and quantized DOWN, and
-    deterministic between a chunk's DMA start and wait. Compacted slots
-    past the true count hold clamped-valid ids, so over-read chunks are
-    merely redundant (running-min is idempotent); the cold predicate
-    guards count membership per slot, so stale lb slots are never
-    trusted."""
+    deterministic between a chunk's DMA start and wait. Reads of
+    compacted slots past the true count (a partial last chunk) clamp to
+    the last real slot — the duplicated block's page re-read is a no-op
+    under the running min, and uninitialized SMEM is never used as a DMA
+    source id; the cold predicate guards count membership per slot, so
+    stale lb slots are never trusted."""
 
     def kernel(
         range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
@@ -930,8 +931,17 @@ def _make_bitmap_kernel(
         def slot_of(k):
             return jnp.where(k < ch_h, k * chunk, (k - ch_h) * chunk)
 
+        def slot_clamped(k, j):
+            # A partial last chunk over-reads slots past the true count;
+            # those were never written THIS grid step (and on the first
+            # step never at all — SMEM scratch is uninitialized), so clamp
+            # to the last real slot: the duplicated block's page is
+            # re-read, which the running min makes a no-op.
+            cnt = jnp.where(k < ch_h, cnt_h, cnt_c)
+            return jnp.minimum(slot_of(k) + j, cnt - 1)
+
         def tile_dma(slot, k, j):
-            tile_id = vids_ref[ids_row(k), slot_of(k) + j]
+            tile_id = vids_ref[ids_row(k), slot_clamped(k, j)]
             return pltpu.make_async_copy(
                 t_ref.at[page_base + tile_id],
                 tbuf_ref.at[slot, :, pl.ds(j * tile_t, tile_t)],
@@ -955,10 +965,10 @@ def _make_bitmap_kernel(
             gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)
             sub = jax.lax.rem(gpos, tile_t)
             seg = gpos // tile_t
-            base = jnp.full_like(gpos, vids_ref[ids_row(k), slot_of(k)])
+            base = jnp.full_like(gpos, vids_ref[ids_row(k), slot_clamped(k, 0)])
             for j in range(1, chunk):
                 base = jnp.where(
-                    seg == j, vids_ref[ids_row(k), slot_of(k) + j], base
+                    seg == j, vids_ref[ids_row(k), slot_clamped(k, j)], base
                 )
             # PAIR-LOCAL sorted page index (callers map via their own
             # page_orig).

@@ -349,8 +349,9 @@ def kernel_efficiency(
             visited * cap_pad * tq * (3 * d + 2)   # kernel distances
             + nq * nc * (3 * d + 2)                # prefix lb pass (VMEM)
         )
+        kind = "warm" if cfg.kd_warm_start else "union"
         matcher_line = (
-            f"  kd warm matcher: {visited} member blocks/iter "
+            f"  kd {kind} matcher: {visited} member blocks/iter "
             f"({visited / max(nqt, 1):.1f}/tile of {nc}): "
             f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
         )

@@ -150,11 +150,25 @@ def align_eth_batch(
     from icp_variants_tpu.runtime.prefetch import Prefetcher
 
     def load_batch(idxs):
+        # ALL per-pair host-side prep happens here, on the worker thread:
+        # kd builds, pose scaling/perturbation, and the scipy query-order
+        # builds — the consumer thread only stacks and launches programs.
         samples = loader.get_items(idxs)
         kds = [icp.build_kd_for(cfg, s.target) for s in samples]
+        scaled = [scale_pose(s.pose, pose_scaling) for s in samples]
+        perturbed = [
+            perturb_cloud(s.source, sc) for s, sc in zip(samples, scaled)
+        ]
         if any(k is None for k in kds):
-            return samples, None
-        return samples, kdtree_stack(kds)
+            return samples, None, scaled, perturbed, None
+        orders = [
+            icp.build_query_order_for(cfg, src, kd)
+            for src, kd in zip(perturbed, kds)
+        ]
+        query_orders = (
+            np.stack(orders) if all(o is not None for o in orders) else None
+        )
+        return samples, kdtree_stack(kds), scaled, perturbed, query_orders
 
     def kdtree_stack(kds):
         from icp_variants_tpu.ops import kdtree
@@ -167,7 +181,7 @@ def align_eth_batch(
     ]
     ckpt = (
         _SweepCheckpoint(checkpoint_dir, csv_path, cfg, n, batch_size,
-                         pose_scaling, seed)
+                         pose_scaling, seed, capacity, downsample)
         if checkpoint_dir is not None
         else None
     )
@@ -181,32 +195,16 @@ def align_eth_batch(
             if not all(i in done for i in idxs)
         ]
     prefetched = Prefetcher(batch_indices, load_batch, depth=1)
-    for idxs, (samples, kd_indexes) in zip(batch_indices, prefetched):
+    for idxs, (samples, kd_indexes, perturbations, sources, query_orders) in (
+        zip(batch_indices, prefetched)
+    ):
         start = idxs[0]
-        sources, originals, gt_valids, perturbations = [], [], [], []
-        for s in samples:
-            scaled = scale_pose(s.pose, pose_scaling)
-            perturbed = perturb_cloud(s.source, scaled)
-            sources.append(perturbed)
-            originals.append(np.asarray(s.source.points))
-            gt_valids.append(np.asarray(perturbed.valid))
-            perturbations.append(scaled)
+        originals = [np.asarray(s.source.points) for s in samples]
+        gt_valids = [np.asarray(p.valid) for p in sources]
         targets = [s.target for s in samples]
 
         batch_src = icp.stack_clouds(sources)
         batch_tgt = icp.stack_clouds(targets)
-        query_orders = None
-        if kd_indexes is not None:
-            per_pair_kds = [
-                jax.tree.map(lambda x, i=i: x[i], kd_indexes)
-                for i in range(len(sources))
-            ]
-            orders = [
-                icp.build_query_order_for(cfg, src, kd)
-                for src, kd in zip(sources, per_pair_kds)
-            ]
-            if all(o is not None for o in orders):
-                query_orders = np.stack(orders)
         res = icp.run_icp_batch(
             cfg, batch_src, batch_tgt,
             gt_source_points=np.stack([np.asarray(s.points) for s in sources]),
@@ -262,7 +260,7 @@ class _SweepCheckpoint:
     """
 
     def __init__(self, directory, csv_path, cfg, n, batch_size,
-                 pose_scaling, seed):
+                 pose_scaling, seed, capacity=None, downsample=None):
         import os
 
         os.makedirs(directory, exist_ok=True)
@@ -271,6 +269,11 @@ class _SweepCheckpoint:
             csv=os.path.abspath(csv_path), cfg=repr(cfg), n=int(n),
             batch_size=int(batch_size), pose_scaling=float(pose_scaling),
             seed=int(seed),
+            # Loading knobs change the computed results, so they gate
+            # resume too (a sweep at a different resolution or padding
+            # must not mix with this one).
+            capacity=None if capacity is None else int(capacity),
+            downsample=None if downsample is None else int(downsample),
         )
 
     def load_into(self, result: "ETHRunResult") -> set:

@@ -225,7 +225,8 @@ class TestETHBatch:
         # Simulated crash after batch 1: drop the second batch from the
         # checkpoint; the rerun recomputes exactly that batch with the same
         # per-batch PRNG key, so results are bit-identical to the full run.
-        ckobj = eth._SweepCheckpoint(ck, csv_path, cfg, 4, 2, 0.5, 0)
+        ckobj = eth._SweepCheckpoint(ck, csv_path, cfg, 4, 2, 0.5, 0,
+                                     capacity=512)
         partial = eth.ETHRunResult()
         assert ckobj.load_into(partial) == {0, 1, 2, 3}
         partial.pairs = [p for p in partial.pairs if p.index < 2]
