@@ -384,6 +384,13 @@ def nn_search_kd_union(
     k = min(K_DEFAULT if k is None else k, nc)
     nq = queries.shape[0]
     q = knn._pad_rows(knn._pad_features(queries[:, :d]), tile_q, 0.0)
+    if q.shape[0] != nq:
+        # Anchor-pin the tile-multiple padding to the first real query:
+        # origin-pinned pad rows would drag blocks near (0,0,0) into the
+        # last tile's member union and hold its frozen running-best bound
+        # at the threshold (their result rows are discarded either way).
+        pad_rows = (jnp.arange(q.shape[0]) >= nq)[:, None]
+        q = jnp.where(pad_rows, q[0][None, :], q)
     nqt = q.shape[0] // tile_q
 
     lb = _box_lb(q[:, :d], index.block_min, index.block_max)  # (Nq_pad, nc)
@@ -657,7 +664,7 @@ def nn_search_kd_warm(
 def match_kd_warm(
     queries: jax.Array,
     index: KDIndex,
-    max_distance: float | jax.Array,
+    max_distance: float,      # static: keys the compiled search kernels
     cache_idx: jax.Array,
     target_feats: jax.Array,
     query_mask: jax.Array | None = None,
@@ -849,7 +856,7 @@ def match_kd(
     queries: jax.Array,
     index: KDIndex,
     fallback_index,
-    max_distance: float | jax.Array,
+    max_distance: float,
     query_mask: jax.Array | None = None,
     *,
     k: int | None = None,
@@ -859,6 +866,9 @@ def match_kd(
     """Matching stage over the k-d index: per-query search + exactness
     fallback. Same ``(indices, dist2, valid)`` contract as
     ``knn.match_indexed`` (squared threshold, NearestNeighbor.h:182).
+    ``max_distance`` must be a STATIC Python float (it keys the cached
+    fallback kernel); per-level schedules should recompile per level like
+    every other config knob, not trace the threshold.
 
     Queries whose certificate fails re-search through ``fallback_index``
     (a ``knn.TargetIndex``): the visited-list kernel in per-query-bound

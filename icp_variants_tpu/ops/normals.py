@@ -133,9 +133,21 @@ def _self_knn_band_ub(points: jax.Array, k: int, tile: int) -> jax.Array:
     n = points.shape[0]
     n_tiles = n // tile
     tiles = points.reshape(n_tiles, tile, 3)
-    prev_t = jnp.concatenate([tiles[:1], tiles[:-1]], axis=0)
-    next_t = jnp.concatenate([tiles[1:], tiles[-1:]], axis=0)
-    cand = jnp.concatenate([prev_t, tiles, next_t], axis=1)   # (nt, 3*tile, 3)
+    if n_tiles >= 3:
+        # Wrap-around neighbors: every candidate row is a DISTINCT cloud
+        # point. Edge-clamping (prev of tile 0 = tile 0 itself) would
+        # duplicate own-tile rows in the multiset, making the k-th
+        # smallest an UNDER-estimate of the true k-th neighbor distance —
+        # not a valid upper bound. The wrapped far tile's rows are merely
+        # distant real candidates, which can only loosen the bound.
+        prev_t = jnp.roll(tiles, 1, axis=0)
+        next_t = jnp.roll(tiles, -1, axis=0)
+        cand = jnp.concatenate([prev_t, tiles, next_t], axis=1)
+    else:
+        # Tiny clouds: the whole cloud is the candidate set (exact).
+        cand = jnp.broadcast_to(
+            points.reshape(1, -1, 3), (n_tiles, n_tiles * tile, 3)
+        )
 
     def one(qt, ct):
         d2 = jnp.sum((qt[:, None, :] - ct[None, :, :]) ** 2, axis=-1)
@@ -158,8 +170,11 @@ def _self_knn_gather_topk(
     points: jax.Array, vlist: jax.Array, k: int, tile: int, cand_tiles: int
 ):
     """Exact k-NN indices given per-query-tile candidate tile lists (the
-    first ``cand_tiles`` entries cover every tile within the per-tile bound;
-    extra slots repeat tile 0, harmlessly redundant)."""
+    first ``cand_tiles`` entries cover every tile within the per-tile
+    bound; slots past the per-row count repeat tile 0 — those duplicate
+    slots are masked out below, since a duplicated candidate column would
+    let the k-round extraction pick the same physical point twice and
+    push a true neighbor out of the top-k)."""
     n = points.shape[0]
     n_tiles = n // tile
     tiles = points.reshape(n_tiles, tile, 3)
@@ -167,6 +182,15 @@ def _self_knn_gather_topk(
     def one(qt, tids):
         ct = tiles[tids].reshape(-1, 3)                 # (cand_tiles*tile, 3)
         d2 = jnp.sum((qt[:, None, :] - ct[None, :, :]) ** 2, axis=-1)
+        # A slot whose tile id already appeared in an earlier slot is a
+        # pad duplicate: freeze its whole column span out of the top-k.
+        s = jnp.arange(tids.shape[0])
+        dup = jnp.any(
+            (tids[:, None] == tids[None, :]) & (s[None, :] < s[:, None]),
+            axis=1,
+        )
+        dup_cols = jnp.repeat(dup, tile)
+        d2 = jnp.where(dup_cols[None, :], jnp.inf, d2)
         cols = tids[:, None] * tile + jnp.arange(tile)[None, :]
         cols = cols.reshape(-1)
         lanes = jnp.arange(d2.shape[1])[None, :]

@@ -661,6 +661,11 @@ def build_kd_for(
         and cfg.selection_proba <= KD_MAX_SELECTION_P
     ):
         return None
+    if cfg.selection == Selection.RANDOM and not cfg.compact_queries:
+        # Non-compacted Bernoulli keeps the full-capacity query vector;
+        # the per-query kd search only wins over the tile kernel when the
+        # query set is the compacted sparse selection.
+        return None
     valid = np.asarray(jax.device_get(target.valid))
     if int(valid.sum()) < min_points:
         return None

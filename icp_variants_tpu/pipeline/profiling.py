@@ -356,11 +356,16 @@ def kernel_efficiency(
             f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
         )
     else:
+        # Model the PRODUCTION v2 visited-list kernel: 128-query tiles and
+        # direct-difference VPU distances (~3 ops per feature + min/argmin
+        # update per candidate) — not the retired q @ t^T matmul kernel.
         tile_t = knn.V2_TILE_T
+        tile_q = knn.V2_TILE_Q
+        d_feat = 3
         index = knn.build_target_index(target.points, tile_t=tile_t)
-        qp = knn._pad_rows(knn._pad_features(q), knn.TILE_Q, 0.0)
-        nq_tiles = qp.shape[0] // knn.TILE_Q
-        qtiles = qp.reshape(nq_tiles, knn.TILE_Q, knn.FEATURE_PAD)
+        qp = knn._pad_rows(knn._pad_features(q), tile_q, 0.0)
+        nq_tiles = qp.shape[0] // tile_q
+        qtiles = qp.reshape(nq_tiles, tile_q, knn.FEATURE_PAD)
         bound = jnp.float32(cfg.max_distance) * (1 + 1e-6) + 1e-30
         _, _, counts, _ = knn._visit_lists(
             jnp.min(qtiles, axis=1), jnp.max(qtiles, axis=1),
@@ -369,10 +374,10 @@ def kernel_efficiency(
         visited = int(jax.device_get(jnp.sum(counts)))
 
         # Matching kernel: bytes = visited tile pages streamed from HBM;
-        # flops = the q @ t^T contraction over visited tiles (upper bound:
-        # the running-best prune skips some of both).
-        m_bytes = visited * tile_t * knn.FEATURE_PAD * 4
-        m_flops = visited * tile_t * knn.TILE_Q * 2 * knn.FEATURE_PAD
+        # flops = direct-difference distances over visited tiles (upper
+        # bound: the running-best prune skips some of both).
+        m_bytes = visited * 8 * tile_t * 4
+        m_flops = visited * tile_t * tile_q * (3 * d_feat + 2)
         matcher_line = (
             f"  k-NN matcher: {visited} visited tiles/iter, "
             f"{m_bytes / 1e6:.1f} MB, {m_flops / 1e9:.2f} GFLOP"
