@@ -1,3 +1,19 @@
-from icp_variants_tpu.ops import knn, projective, rejection, selection, weighting
+from icp_variants_tpu.ops import (
+    kdtree,
+    knn,
+    normals,
+    projective,
+    rejection,
+    selection,
+    weighting,
+)
 
-__all__ = ["knn", "projective", "rejection", "selection", "weighting"]
+__all__ = [
+    "kdtree",
+    "knn",
+    "normals",
+    "projective",
+    "rejection",
+    "selection",
+    "weighting",
+]

@@ -234,16 +234,6 @@ class TargetIndex(NamedTuple):
     norm2: jax.Array      # (1, Nt_pad)
 
 
-def _part1by2(x: jax.Array) -> jax.Array:
-    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
 def morton_codes_np(points, valid_mask=None):
     """Host-side Morton codes (numpy) for load-time cloud ordering — device
     sorts compile pathologically slowly in this environment, and a rigid
@@ -272,24 +262,6 @@ def morton_codes_np(points, valid_mask=None):
     code = part(q[:, 0]) | (part(q[:, 1]) << 1) | (part(q[:, 2]) << 2)
     code = code.astype(np.int64)
     return np.where(valid_mask, code, np.int64(1) << 40)
-
-
-def morton_codes(points: jax.Array, valid_mask: jax.Array | None = None) -> jax.Array:
-    """30-bit Z-order codes from the first 3 columns; invalid rows sort last."""
-    xyz = points[:, :3]
-    if valid_mask is None:
-        valid_mask = jnp.abs(xyz).max(axis=1) < 1.0e5
-    big = jnp.where(valid_mask[:, None], xyz, jnp.nan)
-    lo = jnp.nanmin(big, axis=0)
-    hi = jnp.nanmax(big, axis=0)
-    scale = 1023.0 / jnp.maximum(hi - lo, 1e-12)
-    q = jnp.clip(((xyz - lo) * scale), 0.0, 1023.0).astype(jnp.int32)
-    code = (
-        _part1by2(q[:, 0])
-        | (_part1by2(q[:, 1]) << 1)
-        | (_part1by2(q[:, 2]) << 2)
-    )
-    return jnp.where(valid_mask, code, jnp.int32(0x7FFFFFFF))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t",))
@@ -595,7 +567,11 @@ def _make_visited_kernel(tile_t: int, max_v: int, chunk: int, n_features: int):
             wb_ref[0] = jnp.max(dist_ref[:])
 
             def active(k):
-                return lbrow_ref[0, k * chunk] <= wb_ref[0]
+                # Clamp: active(last+1) is evaluated under pl.when (no
+                # short-circuit) and k*chunk can hit the row width when
+                # the visit list fills it exactly.
+                p = jnp.minimum(k * chunk, lbrow_ref.shape[1] - 1)
+                return lbrow_ref[0, p] <= wb_ref[0]
 
             @pl.when(active(n_phase1))
             def _():
@@ -1003,13 +979,18 @@ def _make_bitmap_kernel(
 
             def active(k):
                 # Any real (in-count) block of cold chunk k with quantized
-                # lb <= quantized-UP wb. The count guard skips stale slots.
+                # lb <= quantized-UP wb. The count guard skips stale slots;
+                # the index clamp keeps the probe of active(last+1) —
+                # evaluated under pl.when with no short-circuit — inside
+                # the SMEM scratch when the cold list fills it exactly.
                 wbq = (wb_ref[0] * quant_scale).astype(jnp.int32) + 1
                 base = (k - ch_h) * chunk
+                last = vids_ref.shape[1] - 1
                 ok = False
                 for j in range(chunk):
+                    p = base + j
                     ok = ok | (
-                        (base + j < cnt_c) & (vids_ref[2, base + j] <= wbq)
+                        (p < cnt_c) & (vids_ref[2, jnp.minimum(p, last)] <= wbq)
                     )
                 return ok
 

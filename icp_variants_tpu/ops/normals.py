@@ -228,7 +228,7 @@ def estimate_normals_knn_fast(
     """
     import numpy as np
 
-    from icp_variants_tpu.ops.knn import _visit_lists, morton_codes_np
+    from icp_variants_tpu.ops.knn import morton_codes_np
 
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), jnp.float32)
@@ -249,21 +249,26 @@ def estimate_normals_knn_fast(
     sp = jnp.asarray(sorted_pts)
 
     ub = _self_knn_band_ub(sp, k, tile)                 # (n_pad,)
+    # Sentinel rows (invalid originals + tile padding) sit at one far
+    # point; with fewer than k of them their own top-k reaches back to
+    # real points, making their "bound" ~1.2e13 — which would mark every
+    # tile visited and degrade the whole path to a dense sweep. Their
+    # normals are NaN-masked anyway, so their bound is simply dropped.
+    valid_sorted = np.concatenate([valid_np[order], np.zeros(pad, bool)])
+    ub = jnp.where(jnp.asarray(valid_sorted), ub, 0.0)
     n_tiles = sp.shape[0] // tile
     tiles = sp.reshape(n_tiles, tile, 3)
     bound = jnp.max(ub.reshape(n_tiles, tile), axis=1)  # per-tile bound
-    from icp_variants_tpu.ops import knn as knn_lib
-
-    qmin = jnp.min(knn_lib._pad_features(sp).reshape(n_tiles, tile, -1), axis=1)
-    qmax = jnp.max(knn_lib._pad_features(sp).reshape(n_tiles, tile, -1), axis=1)
-    bmin = jnp.min(knn_lib._pad_features(tiles.reshape(-1, 3)).reshape(n_tiles, tile, -1), axis=1)
-    bmax = jnp.max(knn_lib._pad_features(tiles.reshape(-1, 3)).reshape(n_tiles, tile, -1), axis=1)
+    qmin = jnp.min(sp.reshape(n_tiles, tile, 3), axis=1)
+    qmax = jnp.max(sp.reshape(n_tiles, tile, 3), axis=1)
     # Per-tile bounds: inflate each query-tile bbox by its own bound via the
     # shared _visit_lists helper (which takes one scalar bound), so instead
-    # compute lists directly here with the per-row bound vector.
+    # compute lists directly here with the per-row bound vector. Query and
+    # target tiles are the same cloud, so one bbox reduction serves both
+    # sides of the gap test.
     gap = jnp.maximum(
-        jnp.maximum(qmin[:, None, :] - bmax[None, :, :],
-                    bmin[None, :, :] - qmax[:, None, :]),
+        jnp.maximum(qmin[:, None, :] - qmax[None, :, :],
+                    qmin[None, :, :] - qmax[:, None, :]),
         0.0,
     )
     lb = jnp.sum(gap * gap, axis=-1)                    # (nt, nt)
@@ -284,8 +289,7 @@ def estimate_normals_knn_fast(
 
     idx_sorted = _self_knn_gather_topk(sp, vlist, k, tile, cand_tiles)
     normals_sorted = _covariance_normals(
-        sp, jnp.asarray(np.concatenate([valid_np[order], np.zeros(pad, bool)])),
-        idx_sorted, k, viewpoint,
+        sp, jnp.asarray(valid_sorted), idx_sorted, k, viewpoint,
     )
     return jnp.asarray(np.asarray(jax.device_get(normals_sorted))[:n][inv_order])
 

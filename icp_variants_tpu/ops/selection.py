@@ -75,11 +75,20 @@ def random_indices(
     needs — an unsorted uniform draw would collapse the bbox pruning), and
     uniform spatial coverage, which is if anything a better subsample for
     ICP than iid Bernoulli."""
-    slots = jnp.arange(capacity)
-    starts = (slots * n) // count
-    ends = ((slots + 1) * n) // count
-    width = jnp.maximum(ends - starts, 1)
+    import numpy as np
+
+    # Stratum boundaries are static (n/count/capacity are Python ints):
+    # compute them on the host in int64 — device int32 `slots * n`
+    # overflows at ETH scale once count exceeds ~2^31/n (~5.9k draws for
+    # 365k-point clouds), corrupting the draw.
+    slots64 = np.arange(capacity, dtype=np.int64)
+    starts_np = (slots64 * n) // count
+    ends_np = ((slots64 + 1) * n) // count
+    starts = jnp.asarray(starts_np.astype(np.int32))
+    width = jnp.asarray(
+        np.maximum(ends_np - starts_np, 1).astype(np.int32)
+    )
     u = jax.random.uniform(key, (capacity,))
     idx = jnp.minimum(starts + (u * width).astype(jnp.int32), n - 1)
-    mask = slots < count
+    mask = jnp.arange(capacity) < count
     return idx, mask

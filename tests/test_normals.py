@@ -133,6 +133,30 @@ class TestFastKnnNormals:
         assert (dots > 0.999).all(), dots.min()
         assert (dots <= 0.9999).sum() <= 3, dots[dots <= 0.9999]
 
+    def test_sentinel_rows_do_not_degrade_pruning(self):
+        """A cloud whose sentinel count (invalid rows + tile pad) is below
+        k used to give sentinels a ~1.2e13 'k-th distance' bound that
+        marked every tile visited — silently degrading the fast path to a
+        dense sweep. Sentinel bounds are now dropped; results must still
+        match the dense path and stay correct for the invalid rows."""
+        rng = np.random.default_rng(3)
+        n = 12 * 256 - 1                      # pad = 1 < k
+        xy = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+        z = (0.3 * np.sin(xy[:, 0]) * np.cos(xy[:, 1])).astype(np.float32)
+        pts = np.column_stack([xy, z]).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[[5, 1000]] = False              # 2 invalid => 3 sentinels < k
+        dense = np.asarray(
+            normals.estimate_normals_knn(
+                jnp.asarray(pts), jnp.asarray(valid), k=5
+            )
+        )
+        fast = np.asarray(normals.estimate_normals_knn_fast(pts, valid, k=5))
+        assert np.isnan(fast[5]).all() and np.isnan(fast[1000]).all()
+        ok = valid.copy()
+        dots = np.abs(np.sum(dense[ok] * fast[ok], axis=1))
+        assert (dots > 0.999).all(), dots.min()
+
     def test_band_ub_is_true_upper_bound(self):
         """_self_knn_band_ub must upper-bound every row's true k-th
         neighbor distance INCLUDING at the first/last Morton tiles, where

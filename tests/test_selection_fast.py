@@ -31,3 +31,22 @@ def test_random_fast_distinct_per_iteration():
     res = bunny.align_bunny(cfg)
     # Different draws per iteration -> match counts vary.
     assert len(set(res.num_matches.tolist())) > 1
+
+
+def test_random_indices_stratified_no_overflow():
+    """random_indices at ETH scale with a large draw count: device int32
+    `slots * n` used to overflow past slot ~2^31/n (~5.9k at 365k points),
+    producing negative/duplicated indices and destroying the ascending
+    Morton order the pruned kernel needs."""
+    from icp_variants_tpu.ops.selection import random_indices
+
+    n, count = 365_056, 45_696
+    idx, mask = random_indices(jax.random.PRNGKey(0), n, count, count)
+    idx = np.asarray(idx)[np.asarray(mask)]
+    assert (idx >= 0).all() and (idx < n).all()
+    # Each slot stays inside its stratum => globally non-decreasing.
+    slots = np.arange(count, dtype=np.int64)
+    assert (idx >= (slots * n) // count).all()
+    assert (idx <= np.maximum((slots + 1) * n // count - 1,
+                              (slots * n) // count)).all()
+    assert (np.diff(idx) >= 0).all()
