@@ -208,8 +208,18 @@ def matrix_to_euler_xyz(R: jax.Array) -> jax.Array:
 
 
 def transform_points(points: jax.Array, pose: jax.Array) -> jax.Array:
-    """Batch rigid transform R p + t (``transformPoints``, utils.h:106-118)."""
-    return points @ pose[:3, :3].T + pose[:3, 3]
+    """Batch rigid transform R p + t (``transformPoints``, utils.h:106-118).
+
+    HIGHEST precision: these coordinates feed nearest-neighbor matching
+    (and the warm radii derived from them), where a default-precision MXU
+    lowering would round 20 m-scale scenes by up to centimeters and flip
+    near-tie winners — k-NN must stay exact in f32 (CLAUDE.md invariant).
+    The contraction is K=3, so the cost is negligible.
+    """
+    return (
+        jnp.matmul(points, pose[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+        + pose[:3, 3]
+    )
 
 
 def _inv3(R: jax.Array) -> jax.Array:
@@ -229,7 +239,11 @@ def transform_normals(normals: jax.Array, pose: jax.Array) -> jax.Array:
     matches the reference for any invertible linear part.
     """
     R = pose[:3, :3]
-    return normals @ _inv3(R)  # (R^-T n)^T = n^T R^-1
+    # HIGHEST like transform_points: normals feed the rejection cosine test
+    # and plane/symmetric residuals.
+    return jnp.matmul(
+        normals, _inv3(R), precision=jax.lax.Precision.HIGHEST
+    )  # (R^-T n)^T = n^T R^-1
 
 
 def invert_pose(pose: jax.Array) -> jax.Array:

@@ -117,6 +117,20 @@ def _probe_trace(probe: jax.Array) -> "ICPTrace":
     )
 
 
+def _compact_cloud(source: Cloud, sel_idx, sel_mask) -> Cloud:
+    """Gather the compacted query cloud: masked rows' points become the pad
+    sentinel (never match anything); normals/colors gather unmasked (their
+    consumers apply the mask)."""
+    return Cloud(
+        points=jnp.where(
+            sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
+        ),
+        normals=source.normals[sel_idx],
+        colors=source.colors[sel_idx],
+        valid=sel_mask,
+    )
+
+
 def _match_kd_stage(
     cfg, q, kd_index, target_index, sel_mask, sel_idx, match_cache,
     target_feats,
@@ -179,9 +193,16 @@ def _iteration(
     measured in (points, or color features under color-ICP).
     ``query_order`` (a (capacity,) host-built permutation,
     kdtree.build_query_order) re-enumerates rows for the compacted random
-    selections so each query tile clusters by target kd block — the
-    Bernoulli/stratified set distributions are unchanged (exchangeable
-    draws), only the buffer order differs.
+    selections so each query tile clusters by target kd block. For
+    Bernoulli RANDOM the selected-SET distribution is exactly unchanged
+    (iid per-row draws are exchangeable under any fixed enumeration); for
+    the RANDOM_FAST extension the stratification space moves from Morton
+    order to the block-aligned enumeration (still one uniform draw per
+    equal-size stratum — a different but equally valid stratified design,
+    documented extension semantics). Under multi-resolution the gap-RANDOM
+    stride lattice lives in enumeration space while RANDOM_FAST masks the
+    stride in original-row space (both are valid coarse subsets — same
+    class of deviation as the Morton-vs-image-order striding, PARITY.md).
     """
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
@@ -195,8 +216,11 @@ def _iteration(
     if stop_after == "floor":
         # Scan/dispatch floor probe for the fused TimeMeasure: no pipeline
         # stage runs; the key-dependent checksum keeps the scan body alive.
+        # key_data handles both legacy uint32 keys and typed PRNG keys
+        # (plain .astype raises on the latter).
+        key_bits = jax.random.key_data(key).astype(jnp.float32)
         return pose, match_cache, _probe_trace(
-            jnp.sum(key.astype(jnp.float32)) + jnp.sum(pose)
+            jnp.sum(key_bits) + jnp.sum(pose)
         )
 
     # --- stage 1: selection -------------------------------------------------
@@ -225,14 +249,7 @@ def _iteration(
         else:
             residual = source.valid
         sel_mask = in_range & residual[sel_idx]
-        source = Cloud(
-            points=jnp.where(
-                sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
-            ),
-            normals=source.normals[sel_idx],
-            colors=source.colors[sel_idx],
-            valid=sel_mask,
-        )
+        source = _compact_cloud(source, sel_idx, sel_mask)
     elif cfg.selection == Selection.RANDOM:
         sel_mask = selection.random_sampling(key, base_mask, cfg.selection_proba)
     elif cfg.selection == Selection.RANDOM_FAST:
@@ -246,14 +263,7 @@ def _iteration(
         if query_order is not None:
             sel_idx = query_order[sel_idx]
         sel_mask = sel_mask & base_mask[sel_idx]
-        source = Cloud(
-            points=jnp.where(
-                sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
-            ),
-            normals=source.normals[sel_idx],
-            colors=source.colors[sel_idx],
-            valid=sel_mask,
-        )
+        source = _compact_cloud(source, sel_idx, sel_mask)
     else:
         sel_mask = selection.select_all(base_mask)
 
@@ -630,9 +640,7 @@ def build_query_order_for(
     on ~the information-floor number of target blocks."""
     if kd_index is None or not cfg.kd_warm_start:
         return None
-    if cfg.selection not in (Selection.RANDOM, Selection.RANDOM_FAST):
-        return None
-    if cfg.selection == Selection.RANDOM and not cfg.compact_queries:
+    if not _kd_selection_applies(cfg):
         return None
     return kdtree.build_query_order(
         np.asarray(jax.device_get(source.points)),
@@ -640,6 +648,24 @@ def build_query_order_for(
         kd_index,
         None if init_pose is None else np.asarray(jax.device_get(init_pose)),
     )
+
+
+def _kd_selection_applies(cfg: ICPConfig) -> bool:
+    """Single source of truth for "the per-query kd path will run with this
+    selection config": sparse compacted random selection only. Shared by
+    ``build_kd_for`` and ``build_query_order_for`` so the two gates cannot
+    drift apart (a drifted order build is wasted host work per pair, or a
+    missing order on a path that wanted it)."""
+    if cfg.selection not in (Selection.RANDOM, Selection.RANDOM_FAST):
+        return False
+    if cfg.selection_proba > KD_MAX_SELECTION_P:
+        return False
+    if cfg.selection == Selection.RANDOM and not cfg.compact_queries:
+        # Non-compacted Bernoulli keeps the full-capacity query vector;
+        # the per-query kd search only wins over the tile kernel when the
+        # query set is the compacted sparse selection.
+        return False
+    return True
 
 
 def build_kd_for(
@@ -656,15 +682,7 @@ def build_kd_for(
     """
     if cfg.matching != Matching.KNN:
         return None
-    if not (
-        cfg.selection in (Selection.RANDOM, Selection.RANDOM_FAST)
-        and cfg.selection_proba <= KD_MAX_SELECTION_P
-    ):
-        return None
-    if cfg.selection == Selection.RANDOM and not cfg.compact_queries:
-        # Non-compacted Bernoulli keeps the full-capacity query vector;
-        # the per-query kd search only wins over the tile kernel when the
-        # query set is the compacted sparse selection.
+    if not _kd_selection_applies(cfg):
         return None
     valid = np.asarray(jax.device_get(target.valid))
     if int(valid.sum()) < min_points:
