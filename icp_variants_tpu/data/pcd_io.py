@@ -32,7 +32,12 @@ def _read_header(path: str):
     with open(path, "rb") as f:
         header = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw = f.readline()
+            if not raw:
+                raise ValueError(
+                    f"{path}: EOF before DATA line (truncated or not a .pcd)"
+                )
+            line = raw.decode("ascii", errors="replace").strip()
             if line.startswith("#") or not line:
                 continue
             key, _, rest = line.partition(" ")
@@ -171,7 +176,13 @@ def read_pcd_point_count(path: str) -> int:
     before building any device arrays."""
     with open(path, "rb") as f:
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw = f.readline()
+            if not raw:
+                raise ValueError(
+                    f"{path}: EOF before POINTS/DATA line (truncated or "
+                    "not a .pcd)"
+                )
+            line = raw.decode("ascii", errors="replace").strip()
             if not line:
                 continue
             key, _, rest = line.partition(" ")

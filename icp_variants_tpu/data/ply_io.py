@@ -76,7 +76,12 @@ def read_ply(path: str) -> dict:
         props: list[tuple[str, np.dtype]] = []
         in_vertex = False
         while True:
-            line = f.readline().decode("ascii").strip()
+            raw = f.readline()
+            if not raw:
+                raise ValueError(
+                    f"{path}: EOF before end_header (truncated PLY)"
+                )
+            line = raw.decode("ascii").strip()
             if line.startswith("format"):
                 fmt = line.split()[1]
             elif line.startswith("element"):

@@ -168,12 +168,16 @@ def run_icp_batch_sharded(
             f"batch {b} does not divide over {n_pairs_shards} pair shards; "
             "pad the batch (repeat a pair) to a multiple"
         )
+    # The stride schedule must come from the PRE-padding capacity: padding
+    # depends on the mesh's points-axis size, and a mesh-dependent schedule
+    # would break the layout-independence contract (and parity with the
+    # unsharded runner on the same data).
+    if num_source_points is None:
+        num_source_points = int(sources.points.shape[1])
     # Shard the point axis evenly; PAD_MULTIPLE tiles per shard keeps the
     # Pallas kernel's query tiling legal on every device.
     sources = pad_cloud_rows(sources, n_points_shards * cloud_lib.PAD_MULTIPLE)
 
-    if num_source_points is None:
-        num_source_points = int(sources.points.shape[1])
     strides = jnp.asarray(cloud_lib.multires_stride_schedule(
         num_source_points, cfg.n_iterations, cfg.multi_resolution,
         cfg.multi_resolution_min_points,

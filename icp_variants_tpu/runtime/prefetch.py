@@ -56,6 +56,9 @@ class Prefetcher(Iterator[T]):
     def __next__(self) -> T:
         got = self._q.get()
         if got is _SENTINEL:
+            # Re-queue the sentinel: a second next() after exhaustion must
+            # raise StopIteration again, not block on an empty queue.
+            self._q.put(_SENTINEL)
             raise StopIteration
         value, err = got
         if err is not None:

@@ -24,7 +24,7 @@ from icp_variants_tpu.core import cloud as cloud_lib
 from icp_variants_tpu.core import se3
 from icp_variants_tpu.data.loaders import ETHDataLoader
 from icp_variants_tpu.pipeline import icp, measure
-from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer, Selection
+from icp_variants_tpu.pipeline.config import ICPConfig, Metric, Minimizer
 
 
 logger = logging.getLogger("icp_variants_tpu.eth")
@@ -136,6 +136,7 @@ def align_eth_batch(
     n = loader.get_length() if max_pairs is None else min(max_pairs, loader.get_length())
     result = ETHRunResult()
 
+    num_source_points = None
     if capacity is None and n > 0:
         # Pre-scan ALL cloud sizes from the .pcd headers so every batch
         # shares one capacity (and one compiled executable); rounded up to
@@ -143,6 +144,13 @@ def align_eth_batch(
         counts = loader.point_counts(max_pairs=n)
         capacity = int(-(-int(counts.max()) // 512) * 512)
         loader.capacity = capacity
+        num_source_points = int(counts.max())
+    elif cfg.multi_resolution and n > 0:
+        # The multires stride schedule must come from the TRUE point count
+        # (run_icp semantics, ICPOptimizer.h:196), not the shared padded
+        # capacity — otherwise the batched driver runs a coarser schedule
+        # than align_eth on identical pairs.
+        num_source_points = int(loader.point_counts(max_pairs=n).max())
 
     # Batches load on a background worker (native threaded .pcd parsing +
     # per-target kd builds) while the previous batch's ICP program runs on
@@ -214,6 +222,7 @@ def align_eth_batch(
             run_benchmark=True,
             kd_indexes=kd_indexes,
             query_orders=query_orders,
+            num_source_points=num_source_points,
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))

@@ -84,8 +84,6 @@ def run_experiments(
     resume: bool = True,
 ) -> dict:
     """Run every row of the config matrix; returns the summary dict."""
-    from icp_variants_tpu.workloads import bunny as bunny_wl
-
     os.makedirs(out_dir, exist_ok=True)
     summary_path = os.path.join(out_dir, "summary.json")
     summary: dict = {}

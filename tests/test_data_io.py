@@ -40,6 +40,17 @@ class TestPcdIO:
         out = pcd_io.read_pcd(p)
         np.testing.assert_allclose(out, pts, rtol=1e-5)
 
+    def test_truncated_header_raises(self, tmp_path):
+        """A .pcd without a DATA line (truncated/wrong format) must raise,
+        not spin forever on readline() returning b'' at EOF."""
+        p = str(tmp_path / "trunc.pcd")
+        with open(p, "w") as f:
+            f.write("VERSION 0.7\nFIELDS x y z\n")
+        with pytest.raises(ValueError, match="EOF"):
+            pcd_io.read_pcd(p)
+        with pytest.raises(ValueError, match="EOF"):
+            pcd_io.read_pcd_point_count(p)
+
     def test_extra_fields_binary(self, tmp_path):
         # PCD with intensity: x y z i layout; only xyz extracted.
         pts = np.random.default_rng(1).standard_normal((10, 3)).astype(np.float32)

@@ -124,6 +124,19 @@ class TestPrefetcher:
         out = list(Prefetcher(range(10), lambda i: i * i, depth=2))
         assert out == [i * i for i in range(10)]
 
+    def test_exhausted_iterator_raises_again(self):
+        """next() after exhaustion must raise StopIteration every time —
+        the sentinel used to be consumed once, deadlocking a second poll."""
+        from icp_variants_tpu.runtime.prefetch import Prefetcher
+
+        pf = Prefetcher(range(2), lambda i: i, depth=1)
+        assert list(pf) == [0, 1]
+        import pytest as _pytest
+        with _pytest.raises(StopIteration):
+            next(pf)
+        with _pytest.raises(StopIteration):
+            next(pf)
+
     def test_exception_propagates_in_order(self):
         from icp_variants_tpu.runtime.prefetch import Prefetcher
 
