@@ -51,7 +51,49 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
-def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
+def prepare_host_state(pairs, use_kd=True):
+    """One-time host-side prep shared by every bench_tpu invocation:
+    Morton-ordered stacked clouds, per-target k-d builds (the FLANN
+    buildIndex analog, NearestNeighbor.h:122-141), and the block-aligned
+    query enumeration (same Bernoulli set distribution, tiles clustered on
+    ~the information-floor number of target blocks). Hoisted out of
+    bench_tpu so the warm/cold/fast rounds don't redo minutes of identical
+    host sorts and scipy builds."""
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
+    from icp_variants_tpu.pipeline import icp
+
+    source_clouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    target_clouds = [
+        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+        for (_, _, tp, tn) in pairs
+    ]
+    state = {
+        "sources": icp.stack_clouds(source_clouds),
+        "targets": icp.stack_clouds(target_clouds),
+        "kd_indexes": None,
+        "query_orders": None,
+    }
+    if use_kd:
+        kds = [
+            kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
+            for t in target_clouds
+        ]
+        state["kd_indexes"] = kdtree.stack_kd_indexes(kds)
+        state["query_orders"] = np.stack([
+            kdtree.build_query_order(
+                np.asarray(s.points), np.asarray(s.valid), kd
+            )
+            for s, kd in zip(source_clouds, kds)
+        ])
+    return state
+
+
+def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True,
+              state=None):
     """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
     (the ETH sweep's data-parallel axis, run on one chip). Returns
     seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
@@ -59,11 +101,11 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
     ``use_kd`` matches through the per-query k-d index (v3) instead of the
     tile visited-list kernel alone: 10.6 vs 8.3 pairs/s once the block
     gathers lower FLAT under the pair vmap and the exactness fallback
-    hides behind a batch-global cond (scripts/bench_ab_kd_log.txt)."""
+    hides behind a batch-global cond (scripts/bench_ab_kd_log.txt).
+    ``state`` (prepare_host_state) shares the host-side builds across
+    calls; built on demand when omitted."""
     import jax
 
-    from icp_variants_tpu.core import cloud as cloud_lib
-    from icp_variants_tpu.ops import kdtree
     from icp_variants_tpu.pipeline import icp
     from icp_variants_tpu.pipeline.config import (
         ICPConfig, Metric, Minimizer,
@@ -79,39 +121,11 @@ def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True):
     )
     if warm is not None:
         cfg = cfg.replace(kd_warm_start=warm)
-    source_clouds = [
-        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-        for (sp, sn, _, _) in pairs
-    ]
-    sources = icp.stack_clouds(source_clouds)
-    target_clouds = [
-        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
-        for (_, _, tp, tn) in pairs
-    ]
-    targets = icp.stack_clouds(target_clouds)
-    # One-time per-target k-d build (host), the FLANN buildIndex analog
-    # (NearestNeighbor.h:122-141) — amortized across the 50-iteration run
-    # exactly like the reference's.
-    kd_indexes = None
-    query_orders = None
-    if use_kd:
-        build_orders = qorder
-        kds = [
-            kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
-            for t in target_clouds
-        ]
-        kd_indexes = kdtree.stack_kd_indexes(kds)
-        # Block-aligned query enumeration (host, one-time): same Bernoulli
-        # set distribution, tiles clustered on ~the information-floor
-        # number of target blocks.
-        if build_orders:
-            orders = [
-                kdtree.build_query_order(
-                    np.asarray(s.points), np.asarray(s.valid), kd
-                )
-                for s, kd in zip(source_clouds, kds)
-            ]
-            query_orders = np.stack(orders)
+    if state is None:
+        state = prepare_host_state(pairs, use_kd=use_kd)
+    sources, targets = state["sources"], state["targets"]
+    kd_indexes = state["kd_indexes"] if use_kd else None
+    query_orders = state["query_orders"] if (use_kd and qorder) else None
 
     def run(seed):
         res = icp.run_icp_batch(
@@ -200,12 +214,16 @@ def main():
     # The cold run is the exact configuration of the last hardware-measured
     # headline (union matcher, no query reordering): the headline can pick
     # up the warm matcher's win but never regress below the proven config.
-    dt_warm = bench_tpu(pairs, Selection.RANDOM, warm=True)
-    dt_cold = bench_tpu(pairs, Selection.RANDOM, warm=False, qorder=False)
+    state = prepare_host_state(pairs)
+    dt_warm = bench_tpu(pairs, Selection.RANDOM, warm=True, state=state)
+    dt_cold = bench_tpu(
+        pairs, Selection.RANDOM, warm=False, qorder=False, state=state
+    )
     dt_tpu = min(dt_warm, dt_cold)
     warm_won = dt_warm <= dt_cold
     dt_fast = bench_tpu(
-        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=warm_won
+        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=warm_won,
+        state=state,
     )
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).

@@ -116,6 +116,12 @@ def main(argv=None) -> int:
                 checkpoint_dir=args.checkpoint_dir,
             )
         else:
+            if args.checkpoint_dir:
+                raise SystemExit(
+                    "--checkpoint-dir requires the batched runner: "
+                    "add --batch N (the sequential path has no "
+                    "checkpointing and would silently ignore the flag)"
+                )
             res = eth.align_eth(
                 args.pose_csv, cfg, pose_scaling=args.pose_scaling,
                 downsample=args.downsample,

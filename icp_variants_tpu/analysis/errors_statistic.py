@@ -15,6 +15,10 @@ import numpy as np
 
 def describe(values: np.ndarray) -> dict:
     values = np.asarray(values, np.float64).ravel()
+    if values.size == 0:
+        # Empty error file (0-iteration or crashed run): report count=0
+        # instead of tracebacking on zero-size reductions.
+        return {"count": 0}
     return {
         "count": int(values.size),
         "mean": float(values.mean()),

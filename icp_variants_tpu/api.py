@@ -78,11 +78,20 @@ def register(
         pts = np.asarray(pts, np.float32)
         if nrm is None:
             finite = np.isfinite(pts).all(axis=1)
-            nrm = np.asarray(
-                normals_ops.estimate_normals_knn(
-                    jnp.asarray(pts), jnp.asarray(finite), k=normal_k
+            if len(pts) >= 20_000:
+                # Morton-banded exact k-NN (tens of ms at ETH scale; the
+                # dense sweep is ~seconds) — same gate as the data loaders.
+                nrm = np.asarray(
+                    normals_ops.estimate_normals_knn_fast(
+                        pts, finite, k=normal_k
+                    )
                 )
-            )
+            else:
+                nrm = np.asarray(
+                    normals_ops.estimate_normals_knn(
+                        jnp.asarray(pts), jnp.asarray(finite), k=normal_k
+                    )
+                )
         return cloud_lib.from_numpy(
             pts, normals=nrm, colors=col, morton_order=morton
         )
@@ -90,6 +99,11 @@ def register(
     source = make_cloud(source_points, source_normals, source_colors)
     target = make_cloud(target_points, target_normals, target_colors)
 
+    if (gt_source_points is None) != (gt_target_points is None):
+        raise ValueError(
+            "gt_source_points and gt_target_points must be given together "
+            "(row i of one corresponds to row i of the other)"
+        )
     if gt_source_points is None:
         # Motion-magnitude oracle: valid source points vs their start.
         gt_src = np.asarray(source.points)

@@ -45,15 +45,12 @@ int64_t icpio_parse_floats(
   while (n < max_count) {
     double v = strtod(p, &end);
     if (end == p) {
-      // Skip one non-numeric, non-space token (e.g. a stray word) and
-      // retry; stop at end of buffer.
-      while (*p && (unsigned char)*p > ' ') ++p;
+      // Non-numeric token: step onto it (strtod already consumed any
+      // leading whitespace conceptually but leaves p unmoved), skip it,
+      // and let the main loop retry — handles any number of stray words.
       while (*p && (unsigned char)*p <= ' ') ++p;
       if (!*p) break;
-      double v2 = strtod(p, &end);
-      if (end == p) break;
-      out[n++] = v2;
-      p = end;
+      while (*p && (unsigned char)*p > ' ') ++p;
       continue;
     }
     out[n++] = v;
@@ -85,13 +82,9 @@ int64_t icpio_parse_floats_f32(
   while (n < max_count) {
     float v = strtof(p, &end);
     if (end == p) {
-      while (*p && (unsigned char)*p > ' ') ++p;
       while (*p && (unsigned char)*p <= ' ') ++p;
       if (!*p) break;
-      float v2 = strtof(p, &end);
-      if (end == p) break;
-      out[n++] = v2;
-      p = end;
+      while (*p && (unsigned char)*p > ' ') ++p;
       continue;
     }
     out[n++] = v;
