@@ -226,6 +226,57 @@ class TestFullShardedRun:
         assert r1 is r2
 
 
+class TestShardedMultires:
+    def test_schedule_independent_of_mesh_padding(self, mesh):
+        """The multires stride schedule must come from the PRE-padding
+        capacity: the points-axis pad is mesh-dependent, and deriving the
+        schedule from it made poses differ across mesh layouts (and from
+        the unsharded runner)."""
+        from icp_variants_tpu.core import cloud as cloud_lib
+
+        cap = 1536                      # pads to 2048 on the 4-way axis
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=6, multi_resolution=True,
+        )
+        padded = -(-cap // (4 * cloud_lib.PAD_MULTIPLE)) * (
+            4 * cloud_lib.PAD_MULTIPLE
+        )
+        s_true = cloud_lib.multires_stride_schedule(
+            cap, cfg.n_iterations, True, cfg.multi_resolution_min_points
+        )
+        s_pad = cloud_lib.multires_stride_schedule(
+            padded, cfg.n_iterations, True, cfg.multi_resolution_min_points
+        )
+        # Guard the fixture: the pad must actually change the schedule,
+        # otherwise this test can't catch a regression.
+        assert list(map(int, s_true)) != list(map(int, s_pad))
+
+        arrays = _batch(2, cap, seed=5)
+        sources = Cloud(
+            points=jnp.asarray(arrays[0]), normals=jnp.asarray(arrays[1]),
+            colors=jnp.asarray(arrays[2]), valid=jnp.asarray(arrays[3]),
+        )
+        targets = Cloud(
+            points=jnp.asarray(arrays[4]), normals=jnp.asarray(arrays[5]),
+            colors=jnp.asarray(arrays[6]), valid=jnp.asarray(arrays[7]),
+        )
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets, key=jax.random.PRNGKey(0)
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh, key=jax.random.PRNGKey(0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.trace.num_matches),
+            np.asarray(res_ref.trace.num_matches),
+        )
+
+
 class TestShardedKd:
     def test_kd_sharded_matches_single_device(self, mesh):
         """The kd (v3) matcher through the sharded full scan: pose and trace
