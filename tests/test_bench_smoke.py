@@ -18,7 +18,9 @@ def test_bench_arms_run_and_share_state(monkeypatch):
     pairs = bench.make_pairs()
     state = bench.prepare_host_state(pairs)
     assert state["kd_indexes"] is not None
-    assert state["query_orders"].shape == (2, 3072)  # capacity-padded rows
+    # Query-order rows must match the source capacity (whatever padding
+    # the cloud layer applies).
+    assert state["query_orders"].shape == state["sources"].points.shape[:2]
 
     dts = {
         "warm": bench.bench_tpu(
@@ -27,18 +29,21 @@ def test_bench_arms_run_and_share_state(monkeypatch):
         "cold": bench.bench_tpu(
             pairs, Selection.RANDOM, warm=False, qorder=False, state=state
         ),
-        "fast": bench.bench_tpu(pairs, Selection.RANDOM_FAST, state=state),
+        "fast_warm": bench.bench_tpu(
+            pairs, Selection.RANDOM_FAST, warm=True, state=state
+        ),
+        # The configuration main() uses when the cold matcher wins.
+        "fast_cold": bench.bench_tpu(
+            pairs, Selection.RANDOM_FAST, warm=False, qorder=False,
+            state=state,
+        ),
     }
     for name, dt in dts.items():
         assert np.isfinite(dt) and dt > 0, (name, dt)
 
 
 def test_cpu_proxy_runs():
-    src, _, tgt, _ = (
-        bench.synth_cloud(2000, 0)[0],
-        None,
-        bench.synth_cloud(2000, 1)[0],
-        None,
-    )
+    src, _ = bench.synth_cloud(2000, 0)
+    tgt, _ = bench.synth_cloud(2000, 1)
     dt = bench.bench_cpu_proxy(src, tgt)
     assert np.isfinite(dt) and dt > 0
