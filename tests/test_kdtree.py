@@ -79,7 +79,13 @@ class TestPartition:
         q = jnp.asarray(pts[:50])
         i, d2, fail = kdtree.nn_search_kd(q, idx, 100.0)
         i = np.asarray(i)
-        assert (np.asarray(d2)[~np.asarray(fail)] <= 100.0 * (1 + 1e-5)).all()
+        # Every query IS a valid target point (distance 0), so every
+        # non-failed row must succeed — without this the filtered checks
+        # below pass vacuously on an all-reject regression.
+        ok = ~np.asarray(fail)
+        assert ok.mean() > 0.8, ok.mean()
+        assert (i[ok] >= 0).all()
+        assert (np.asarray(d2)[ok] <= 100.0 * (1 + 1e-5)).all()
         assert np.isin(i[i >= 0], np.flatnonzero(valid)).all()
 
 
@@ -133,7 +139,12 @@ class TestSearch:
         mask[::2] = True
         _, _, valid = kdtree.match_kd(
             jnp.asarray(q), idx, tin, 4.0, query_mask=jnp.asarray(mask))
-        assert not np.asarray(valid)[1::2].any()
+        valid = np.asarray(valid)
+        assert not valid[1::2].any()
+        # Unmasked rows must actually match (the fixture's queries are
+        # small perturbations of targets) — otherwise "mask respected"
+        # is indistinguishable from "matcher returns nothing".
+        assert valid[::2].mean() > 0.8, valid[::2].mean()
 
     def test_color_features_6dim(self):
         rng = np.random.default_rng(9)
@@ -239,6 +250,15 @@ class TestPipelineParity:
         rmse = np.asarray(res.trace.rmse)
         assert np.isfinite(np.asarray(res.pose)).all()
         assert rmse.shape[0] == 2
+        # The estimate must actually undo the known perturbation (est is
+        # the inverse of [R | 0.03]): finiteness alone would pass for an
+        # identity-pose regression that ignored the kd indexes.
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = 0.03
+        for b in range(2):
+            err = np.asarray(res.pose[b]) @ T
+            np.testing.assert_allclose(err, np.eye(4), atol=2e-2)
 
 
 class TestBuildKdFor:
@@ -349,6 +369,10 @@ class TestUnionKernel:
             jnp.asarray(q), idx, 1.0, interpret=True)
         dref, iref = cKDTree(t).query(q, k=1, workers=-1)
         w = ~np.asarray(fail)
+        # Guard against a vacuous pass: the certificate must close for
+        # most of these near-duplicate queries, or the small-cloud path
+        # is effectively dead.
+        assert w.mean() > 0.8, w.mean()
         agree = (np.asarray(i)[w] == iref[w]) | np.isclose(
             np.asarray(d2)[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
         assert agree.all()

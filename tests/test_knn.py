@@ -58,7 +58,11 @@ class TestNNSearchPallas:
         q = rng.standard_normal((64, 3)).astype(np.float32)
         t = rng.standard_normal((100, 3)).astype(np.float32)  # padded to 1024
         idx_p, _ = knn.nn_search_pallas(jnp.asarray(q), jnp.asarray(t), interpret=True)
-        assert (np.asarray(idx_p) < 100).all()
+        idx_p = np.asarray(idx_p)
+        # nn_search_pallas is unthresholded: every query must win SOME
+        # real row (an all-reject regression would also satisfy < 100).
+        assert (idx_p >= 0).all()
+        assert (idx_p < 100).all()
 
 
 class TestMatch:
@@ -135,7 +139,11 @@ class TestPrunedIndex:
         q = rng.standard_normal((64, 3)).astype(np.float32)
         index = knn.build_target_index(jnp.asarray(t), tile_t=256)
         idx, d2, valid = knn.match_indexed(jnp.asarray(q), index, 1e3)
-        assert (np.asarray(idx)[np.asarray(valid)] < 10).all()
+        valid = np.asarray(valid)
+        # Standard-normal queries vs real targets at threshold 1e3: every
+        # query must match (guards against an all-invalid vacuous pass).
+        assert valid.all()
+        assert (np.asarray(idx)[valid] < 10).all()
 
 
 class TestVisitLists:
@@ -295,7 +303,10 @@ class TestPrunedV2:
             tile_q=128, tile_t=256, chunk=2,
         )
         idx = np.asarray(idx)
-        assert (idx[idx >= 0] < 100).all()
+        # All queries sit near the 100 real rows at threshold 1e3, so all
+        # must match — otherwise the filtered check passes vacuously.
+        assert (idx >= 0).all()
+        assert (idx < 100).all()
 
     def test_ties_return_equal_distance(self):
         """Duplicate targets in different tiles: the winner may differ from

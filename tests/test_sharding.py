@@ -101,6 +101,27 @@ def test_pair_axis_only_mesh():
     )
     assert out.shape == (4, 4, 4)
     assert np.isfinite(out).all()
+    # Each pair must reproduce the plain per-pair iteration — finiteness
+    # alone would pass if pairs got each other's points or a degenerate
+    # psum doubled the normal equations.
+    gt = jnp.zeros((1, 3), jnp.float32)
+    gtv = jnp.ones((1,), bool)
+    for i in range(4):
+        source = Cloud(
+            points=jnp.asarray(arrays[0][i]), normals=jnp.asarray(arrays[1][i]),
+            colors=jnp.asarray(arrays[2][i]), valid=jnp.asarray(arrays[3][i]),
+        )
+        target = Cloud(
+            points=jnp.asarray(arrays[4][i]), normals=jnp.asarray(arrays[5][i]),
+            colors=jnp.asarray(arrays[6][i]), valid=jnp.asarray(arrays[7][i]),
+        )
+        pose_ref, _, _ = icp._iteration(
+            cfg, source, target, jnp.eye(4), jnp.asarray(1, jnp.int32),
+            keys[i], gt, gt, gtv, run_benchmark=False,
+        )
+        np.testing.assert_allclose(
+            out[i], np.asarray(pose_ref), rtol=1e-3, atol=2e-5
+        )
 
 
 class TestFullShardedRun:

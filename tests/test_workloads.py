@@ -173,9 +173,14 @@ class TestExperiments:
         assert os.path.exists(os.path.join(out_dir, "b0_RMSE.txt"))
         vals = np.loadtxt(os.path.join(out_dir, "b0_RMSE.txt"))
         assert vals.shape == (5,)
-        # Resume: re-run touches nothing new (same summary back).
+        # Resume: re-run must SKIP completed rows, not recompute them —
+        # summary equality alone also holds for a deterministic full
+        # re-run, so observe skipping via the output file's mtime.
+        rmse_path = os.path.join(out_dir, "b0_RMSE.txt")
+        mtime = os.path.getmtime(rmse_path)
         summary2 = experiments.run_experiments(str(csv_path), out_dir=out_dir)
         assert summary2 == summary
+        assert os.path.getmtime(rmse_path) == mtime
 
 
 class TestETHBatch:
@@ -378,6 +383,20 @@ class TestLoadTimeDownsample:
         assert int(np.asarray(down[0].source.valid).sum()) == 100
         # stride-4 subset of the full load (pre-Morton row order)
         assert (down.point_counts() == -(-full.point_counts() // 4)).all()
+        # The kept points must be exactly rows [::4] of the raw file —
+        # counts alone can't distinguish the stride from "first quarter".
+        from icp_variants_tpu.data import pcd_io as _pcd
+
+        raw = _pcd.read_pcd(
+            str(tmp_path / "plain" / "s0.pcd")
+        )[::4]
+        cloud = down[0].source
+        kept = np.asarray(cloud.points)[np.asarray(cloud.valid)]
+
+        def canon(a):
+            return a[np.lexsort(a.T)]
+
+        np.testing.assert_allclose(canon(kept), canon(raw), rtol=1e-6)
 
     def test_downsampled_sweep_runs(self, tmp_path):
         from icp_variants_tpu.workloads import eth
