@@ -183,6 +183,28 @@ class TestExperiments:
         assert os.path.getmtime(rmse_path) == mtime
 
 
+class TestReferenceMatrix:
+    def test_shipped_24_config_matrix_parses(self):
+        """The reference's full 24-config bunny matrix
+        (Data/bunny_experiments.csv:2-25) must translate row-for-row into
+        valid ICPConfigs through the 11-column schema."""
+        rows = experiments.read_experiment_csv("assets/bunny_experiments.csv")
+        assert len(rows) == 24
+        assert {r.exp_type for r in rows} == {"bunny"}
+        assert len({r.name for r in rows}) == 24
+        metrics = {r.config.metric for r in rows}
+        assert metrics == {Metric.POINT_TO_POINT, Metric.POINT_TO_PLANE,
+                           Metric.SYMMETRIC}
+        assert {r.config.minimizer for r in rows} == {
+            Minimizer.LINEAR, Minimizer.NONLINEAR_LM,
+        }
+        assert any(r.config.multi_resolution for r in rows)
+        assert any(r.config.selection == Selection.RANDOM for r in rows)
+        for r in rows:
+            assert r.config.n_iterations == 20
+            assert r.config.max_distance == 0.0003  # main.cpp:61-75
+
+
 class TestETHBatch:
     def test_batch_matches_sequential(self, tmp_path):
         csv_path = make_eth_sequence(tmp_path, n_pairs=3)
