@@ -108,6 +108,13 @@ class ICPConfig:
     lm_max_inner_iterations: int = 10
     lm_function_tolerance: float = 1e-6
 
+    # Anderson acceleration window (AA-ICP, arXiv:1709.05479): > 0 mixes
+    # the last m fixed-point residuals into each pose update, converging
+    # in fewer iterations with a plain-step safeguard fallback; 0 (the
+    # default, reference parity) is the plain ICP iteration. Extension —
+    # no reference analog (solvers/anderson.py).
+    anderson_m: int = 0
+
     # Projective matching camera (NearestNeighborSearchProjective, set via
     # setCameraParamsMatchingMethod). Stored as plain floats to stay hashable.
     projective_width: int = 0

@@ -43,7 +43,7 @@ from icp_variants_tpu.pipeline.config import (
     Selection,
     Weighting,
 )
-from icp_variants_tpu.solvers import gauss_newton, linear, procrustes
+from icp_variants_tpu.solvers import anderson, gauss_newton, linear, procrustes
 
 
 class ICPTrace(NamedTuple):
@@ -425,8 +425,12 @@ def _run_icp_jit(
         n_granules = -(-source.points.shape[0] // cfg.kd_warm_granule)
         cache0 = jnp.full((n_granules,), -1, jnp.int32)
 
+    # Anderson acceleration (AA-ICP extension): mixing state rides the
+    # scan carry; anderson_m == 0 keeps the plain fixed-point iteration.
+    aa0 = anderson.init(cfg.anderson_m) if cfg.anderson_m > 0 else None
+
     def body(carry, per_iter):
-        pose, cache = carry
+        pose, cache, aa = carry
         stride, k = per_iter
         new_pose, new_cache, rec = _iteration(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
@@ -434,10 +438,18 @@ def _run_icp_jit(
             stop_after=stop_after, match_cache=cache, target_feats=feats,
             query_order=query_order,
         )
-        return (new_pose, new_cache), rec
+        if aa is not None:
+            # The per-iteration trace reflects the PLAIN step's pose (the
+            # fixed-point evaluation); the carried pose is the mixed one.
+            aa, x_next = anderson.step(
+                aa, anderson.pose_to_vec(pose),
+                anderson.pose_to_vec(new_pose), cfg.anderson_m,
+            )
+            new_pose = anderson.vec_to_pose(x_next)
+        return (new_pose, new_cache, aa), rec
 
-    (final_pose, _), trace = jax.lax.scan(
-        body, (init_pose, cache0), (strides, keys)
+    (final_pose, _, _), trace = jax.lax.scan(
+        body, (init_pose, cache0, aa0), (strides, keys)
     )
     return ICPResult(pose=final_pose, trace=trace)
 
