@@ -20,9 +20,20 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="icp_variants_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def add_common(p):
+        p.add_argument(
+            "--metric", type=int, default=0,
+            help="0 point 1 plane 2 symmetric",
+        )
+        p.add_argument("--linear", action="store_true")
+        p.add_argument(
+            "--anderson-m", type=int, default=0,
+            help="AA-ICP acceleration window (0 = plain ICP, reference "
+            "parity; try 2 for ~3x fewer iterations to a given error)",
+        )
+
     b = sub.add_parser("bunny", help="align the Stanford bunny pair")
-    b.add_argument("--metric", type=int, default=0, help="0 point 1 plane 2 symmetric")
-    b.add_argument("--linear", action="store_true")
+    add_common(b)
     b.add_argument("--artifacts-dir")
     b.add_argument(
         "--profile", action="store_true",
@@ -31,8 +42,7 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("room", help="TUM RGB-D frame-to-frame-0 tracking")
     r.add_argument("dataset_dir")
-    r.add_argument("--metric", type=int, default=0)
-    r.add_argument("--linear", action="store_true")
+    add_common(r)
     r.add_argument("--projective", action="store_true")
     r.add_argument("--frame-step", type=int, default=10)
     r.add_argument("--max-frames", type=int, default=10)
@@ -40,8 +50,7 @@ def main(argv=None) -> int:
 
     e = sub.add_parser("eth", help="ETH registration benchmark sweep")
     e.add_argument("pose_csv")
-    e.add_argument("--metric", type=int, default=0)
-    e.add_argument("--linear", action="store_true")
+    add_common(e)
     e.add_argument("--max-pairs", type=int)
     e.add_argument("--batch", type=int, default=0, help=">0: batched runner")
     e.add_argument("--pose-scaling", type=float, default=0.1)
@@ -67,10 +76,13 @@ def main(argv=None) -> int:
     from icp_variants_tpu.pipeline.config import Metric, Minimizer
 
     def mm(metric, linear):
-        return dict(
+        d = dict(
             metric=Metric(metric),
             minimizer=Minimizer.LINEAR if linear else Minimizer.NONLINEAR_LM,
         )
+        if getattr(args, "anderson_m", 0):
+            d["anderson_m"] = args.anderson_m
+        return d
 
     if args.cmd == "bunny":
         from icp_variants_tpu.workloads import bunny

@@ -45,6 +45,7 @@ from icp_variants_tpu.core.cloud import Cloud
 from icp_variants_tpu.ops import knn
 from icp_variants_tpu.pipeline import icp
 from icp_variants_tpu.pipeline.config import ICPConfig, Matching
+from icp_variants_tpu.solvers import anderson
 
 POINTS_AXIS = "points"
 PAIRS_AXIS = "pairs"
@@ -290,18 +291,34 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
                 else None
             )
 
+            # AA-ICP mixing state (solvers/anderson.py): pure pose-space,
+            # so it is replicated along 'points' exactly like the pose —
+            # the psum-reduced solve makes new_pose identical on every
+            # shard, and the AA extrapolation is elementwise on it.
+            aa0 = (
+                anderson.init_like(cfg.anderson_m, pose0)
+                if cfg.anderson_m > 0
+                else None
+            )
+
             def body(carry, per):
-                pose, cache = carry
+                pose, cache, aa = carry
                 stride, k = per
                 new_pose, new_cache, rec = icp._iteration(
                     cfg, source, target, pose, stride, k, gs, gt_, gv,
                     run_benchmark, axis_name=axis_name, target_index=index,
                     kd_index=kd, match_cache=cache, target_feats=feats,
                 )
-                return (new_pose, new_cache), rec
+                if aa is not None:
+                    aa, x_next = anderson.step(
+                        aa, anderson.pose_to_vec(pose),
+                        anderson.pose_to_vec(new_pose), cfg.anderson_m,
+                    )
+                    new_pose = anderson.vec_to_pose(x_next)
+                return (new_pose, new_cache, aa), rec
 
-            (final, _), trace = jax.lax.scan(
-                body, (pose0, cache0), (strides, ks)
+            (final, _, _), trace = jax.lax.scan(
+                body, (pose0, cache0, aa0), (strides, ks)
             )
             return icp.ICPResult(pose=final, trace=trace)
 

@@ -88,6 +88,19 @@ class TestEndToEnd:
         src = (tgt @ R.T + np.array([0.15, -0.1, 0.05], np.float32))
         return src.astype(np.float32), tgt
 
+    def test_tight_threshold_no_regression(self):
+        """Bunny default (tight 3e-4 threshold, LM): near convergence the
+        match set flips discontinuously, and raw AA ended 2.6x WORSE than
+        plain there — the decaying trust clamp must hold the safeguarded
+        run near plain's final error (scripts/aa_production_sweep.py)."""
+        from icp_variants_tpu.workloads import bunny as bw
+
+        plain = bw.align_bunny(bw.default_config())
+        aa = bw.align_bunny(bw.default_config(anderson_m=2))
+        assert aa.final_rmse <= plain.final_rmse * 1.15, (
+            aa.final_rmse, plain.final_rmse,
+        )
+
     def test_accelerates_icp_convergence(self):
         """Point-to-point ICP on a large perturbation converges slowly;
         AA(5) must reach the plain run's final RMSE in fewer iterations

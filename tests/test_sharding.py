@@ -239,6 +239,51 @@ class TestFullShardedRun:
         assert np.isfinite(np.asarray(res.pose)).all()
         assert rmse[-1] < rmse[0] * 0.5
 
+    def test_anderson_sharded_matches_single_device(self, mesh):
+        """AA-ICP (anderson_m > 0) under the full sharded scan: the mixing
+        state is pure pose-space and must reproduce the single-device
+        accelerated run exactly (the psum-reduced solve makes new_pose
+        identical on every shard, so the AA extrapolation must too)."""
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=6, anderson_m=3,
+        )
+        n_pairs, cap = 2, 2048
+        sources, targets = self._clouds(n_pairs, cap, seed=5)
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.trace.rmse), np.asarray(res_ref.trace.rmse),
+            rtol=1e-3, atol=1e-5,
+        )
+        # And acceleration actually engaged: the AA run's final RMSE beats
+        # the plain run's at the same iteration count.
+        res_plain = icp.run_icp_batch(
+            cfg.replace(anderson_m=0), sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        assert (
+            np.asarray(res_sh.trace.rmse)[:, -1]
+            < np.asarray(res_plain.trace.rmse)[:, -1]
+        ).all()
+
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
