@@ -199,7 +199,60 @@ def make_pairs():
     return pairs
 
 
+def wait_for_backend(budget_s: float) -> bool:
+    """The tunneled TPU backend periodically dies (relay ports closed) and a
+    dead backend HANGS jax init forever — probe it in a subprocess under a
+    timeout (same pattern as scripts/tpu_wait_and_run.py) and poll up to
+    ``budget_s`` so the driver's end-of-round bench blocks boundedly. Skipped
+    entirely on CPU-forced runs (tests)."""
+    import os
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 128));"
+        "print('PROBE_OK', float(jax.device_get((x @ x.T).sum())))"
+    )
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=420,
+                env=os.environ,
+            )
+            if "PROBE_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print("bench: TPU backend down; retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+
+
 def main():
+    import os
+
+    if os.environ.get("BENCH_SKIP_BACKEND_PROBE") != "1" and not wait_for_backend(
+        float(os.environ.get("BENCH_BACKEND_WAIT_S", "1800"))
+    ):
+        # Honest failure report instead of an unbounded hang: no number was
+        # (or could be) measured this run.
+        print(
+            json.dumps(
+                {
+                    "metric": "eth_scale_scan_pairs_per_sec_chip",
+                    "value": 0.0,
+                    "unit": "pairs/s (NOT MEASURED: TPU tunnel down — "
+                    "backend init probe failed for the whole wait budget)",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_backend_unreachable",
+                }
+            )
+        )
+        return 1
+
     from icp_variants_tpu.pipeline.config import Selection
 
     pairs = make_pairs()

@@ -42,6 +42,26 @@ def test_bench_arms_run_and_share_state(monkeypatch):
         assert np.isfinite(dt) and dt > 0, (name, dt)
 
 
+def test_dead_backend_reports_instead_of_hanging(monkeypatch, capsys):
+    """With the tunnel down the driver's end-of-round bench must emit an
+    honest not-measured JSON line and exit nonzero, never hang."""
+    import json
+    import subprocess
+
+    def probe_times_out(*args, **kwargs):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", probe_times_out)
+    monkeypatch.delenv("BENCH_SKIP_BACKEND_PROBE", raising=False)
+    monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "0")
+    rc = bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["error"] == "tpu_backend_unreachable"
+    assert out["value"] == 0.0
+    assert out["metric"] == "eth_scale_scan_pairs_per_sec_chip"
+
+
 def test_cpu_proxy_runs():
     src, _ = bench.synth_cloud(2000, 0)
     tgt, _ = bench.synth_cloud(2000, 1)
