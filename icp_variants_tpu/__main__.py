@@ -31,6 +31,12 @@ def main(argv=None) -> int:
             help="AA-ICP acceleration window (0 = plain ICP, reference "
             "parity; try 2 for ~3x fewer iterations to a given error)",
         )
+        p.add_argument(
+            "--trim-ratio", type=float, default=1.0,
+            help="Trimmed ICP: keep only this fraction of matches (best "
+            "by distance) each iteration — robust to partial overlap "
+            "(1.0 = off, reference parity)",
+        )
 
     b = sub.add_parser("bunny", help="align the Stanford bunny pair")
     add_common(b)
@@ -82,6 +88,8 @@ def main(argv=None) -> int:
         )
         if getattr(args, "anderson_m", 0):
             d["anderson_m"] = args.anderson_m
+        if getattr(args, "trim_ratio", 1.0) < 1.0:
+            d["trim_ratio"] = args.trim_ratio
         return d
 
     if args.cmd == "bunny":

@@ -38,3 +38,44 @@ def normal_angle_mask(
     reject = cos_angle < jnp.cos(threshold_rad)
     reject = jnp.where(jnp.isnan(cos_angle), False, reject)
     return valid & ~reject
+
+
+TRIM_BINS = 1024
+
+
+def trimmed_mask(
+    d2: jax.Array,
+    valid: jax.Array,
+    ratio: float,
+    max_d2: float,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Trimmed-ICP rejection (extension — no reference analog): keep the
+    best ``ratio`` fraction of valid matches by squared distance
+    (Chetverikov et al., "The Trimmed Iterative Closest Point algorithm").
+
+    TPU-native quantile: every valid match distance is bounded by the
+    match threshold ``max_d2`` (the matcher's squared compare,
+    NearestNeighbor.h:182), so fixed 1024-bin cumulative counts over
+    [0, max_d2] find the cut bin with one broadcast compare-reduce — no
+    device sort (pathologically slow on this backend), no scatter (TPU
+    scatters serialize) and, sharded, ONE psum of the (1024,) counts,
+    making the threshold bit-identical on every shard. All ties at the
+    cut bin are kept (kept count >= ceil(ratio * n)).
+    """
+    nbins = TRIM_BINS
+    idx = jnp.clip(
+        (d2 * (nbins / max_d2)).astype(jnp.int32), 0, nbins - 1
+    )
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    cum = jnp.sum(
+        (idx[:, None] <= bins[None, :]) & valid[:, None],
+        axis=0,
+        dtype=jnp.int32,
+    )
+    if axis_name is not None:
+        cum = jax.lax.psum(cum, axis_name)
+    n = cum[-1]
+    k = jnp.ceil(ratio * n.astype(jnp.float32)).astype(jnp.int32)
+    cut = jnp.argmax(cum >= k).astype(jnp.int32)  # first bin reaching k
+    return valid & (idx <= cut)

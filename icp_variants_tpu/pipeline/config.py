@@ -72,6 +72,13 @@ class ICPConfig:
     weighting: Weighting = Weighting.CONSTANT
     rejection: bool = True
 
+    # Trimmed ICP (Chetverikov et al.): keep only the best `trim_ratio`
+    # fraction of valid matches by distance each iteration — robust
+    # registration under partial overlap. 1.0 (the default, reference
+    # parity) disables trimming. Extension — no reference analog
+    # (ops/rejection.py trimmed_mask).
+    trim_ratio: float = 1.0
+
     n_iterations: int = 20
     # NOTE: compared against SQUARED distances, exactly like the reference
     # (ICPOptimizer.h:154 "// Sqaure distance", NearestNeighbor.h:182).

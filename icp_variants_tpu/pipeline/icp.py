@@ -351,6 +351,16 @@ def _iteration(
     if cfg.rejection:
         valid = rejection.normal_angle_mask(m.src_normals, m.tgt_normals, valid)
         m = m._replace(valid=valid)
+    if cfg.trim_ratio < 1.0:
+        # Trimmed-ICP extension: keep the best trim_ratio fraction of the
+        # surviving matches by squared distance (partial-overlap
+        # robustness; ops/rejection.py). Shard-safe: the cut threshold is
+        # derived from psummed global counts.
+        valid = rejection.trimmed_mask(
+            _d2, valid, cfg.trim_ratio, cfg.max_distance,
+            axis_name=axis_name,
+        )
+        m = m._replace(valid=valid)
     if stop_after == "rejection":
         return pose, match_cache, _probe_trace(
             jnp.sum(w) + jnp.sum(m.valid) + jnp.sum(m.tgt_points)

@@ -284,6 +284,53 @@ class TestFullShardedRun:
             < np.asarray(res_plain.trace.rmse)[:, -1]
         ).all()
 
+    def test_trimmed_sharded_matches_single_device(self, mesh):
+        """Trimmed ICP under the points axis: the cut threshold comes from
+        psummed global histogram counts, so the sharded run must reproduce
+        the single-device trimmed run (a per-shard quantile would trim
+        different sets and diverge)."""
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_POINT, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=5, trim_ratio=0.7,
+        )
+        n_pairs, cap = 2, 2048
+        sources, targets = self._clouds(n_pairs, cap, seed=7)
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.trace.num_matches),
+            np.asarray(res_ref.trace.num_matches),
+        )
+        # Trimming engaged: fewer matches than the untrimmed run at
+        # iteration 0, where distances are still spread over many bins
+        # (once aligned, everything lands in the cut bin and tie-keeping
+        # correctly retains all matches).
+        res_plain = icp.run_icp_batch(
+            cfg.replace(trim_ratio=1.0), sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        nm_sh = np.asarray(res_sh.trace.num_matches)
+        nm_plain = np.asarray(res_plain.trace.num_matches)
+        assert (nm_sh[:, 0] < nm_plain[:, 0]).all()
+        assert (nm_sh <= nm_plain).all()
+
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
