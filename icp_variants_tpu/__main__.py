@@ -32,6 +32,12 @@ def main(argv=None) -> int:
             "parity; try 2 for ~3x fewer iterations to a given error)",
         )
         p.add_argument(
+            "--weighting", type=int, default=0,
+            help="0 constant 1 distances 2 normals 3 colors (reference "
+            "modes); 4 Huber 5 Tukey (robust M-estimator extensions, "
+            "MAD-adaptive scale)",
+        )
+        p.add_argument(
             "--trim-ratio", type=float, default=1.0,
             help="Trimmed ICP: keep only this fraction of matches (best "
             "by distance) each iteration — robust to partial overlap "
@@ -79,7 +85,7 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
 
-    from icp_variants_tpu.pipeline.config import Metric, Minimizer
+    from icp_variants_tpu.pipeline.config import Metric, Minimizer, Weighting
 
     def mm(metric, linear):
         d = dict(
@@ -90,6 +96,8 @@ def main(argv=None) -> int:
             d["anderson_m"] = args.anderson_m
         if getattr(args, "trim_ratio", 1.0) < 1.0:
             d["trim_ratio"] = args.trim_ratio
+        if getattr(args, "weighting", 0):
+            d["weighting"] = Weighting(args.weighting)
         return d
 
     if args.cmd == "bunny":

@@ -63,7 +63,25 @@ def trimmed_mask(
     making the threshold bit-identical on every shard. All ties at the
     cut bin are kept (kept count >= ceil(ratio * n)).
     """
+    idx, cut, _ = quantile_bin(d2, valid, ratio, max_d2, axis_name=axis_name)
+    return valid & (idx <= cut)
+
+
+def quantile_bin(
+    d2: jax.Array,
+    valid: jax.Array,
+    q: float,
+    max_d2: float,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array, float]:
+    """Shared histogram-quantile primitive: returns ``(bin_idx, cut, bin_w)``
+    where ``cut`` is the first of TRIM_BINS equal bins over [0, max_d2]
+    whose cumulative valid count reaches ``ceil(q * n)``. One broadcast
+    compare-reduce, no device sort or scatter; one (TRIM_BINS,) psum when
+    sharded, so the cut is bit-identical on every shard. Also the robust
+    weighting scale estimator (ops/weighting.py)."""
     nbins = TRIM_BINS
+    bin_w = max_d2 / nbins
     idx = jnp.clip(
         (d2 * (nbins / max_d2)).astype(jnp.int32), 0, nbins - 1
     )
@@ -76,6 +94,6 @@ def trimmed_mask(
     if axis_name is not None:
         cum = jax.lax.psum(cum, axis_name)
     n = cum[-1]
-    k = jnp.ceil(ratio * n.astype(jnp.float32)).astype(jnp.int32)
+    k = jnp.ceil(q * n.astype(jnp.float32)).astype(jnp.int32)
     cut = jnp.argmax(cum >= k).astype(jnp.int32)  # first bin reaching k
-    return valid & (idx <= cut)
+    return idx, cut, bin_w

@@ -32,12 +32,16 @@ class Matching(enum.IntEnum):
 
 
 class Weighting(enum.IntEnum):
-    """weighting.h:8 — ``weighting_methods``."""
+    """weighting.h:8 — ``weighting_methods``. HUBER and TUKEY are
+    extensions (robust M-estimator weights with a per-iteration
+    MAD-adaptive scale, ops/weighting.py; no reference analog)."""
 
     CONSTANT = 0
     DISTANCES = 1
     NORMALS = 2
     COLORS = 3
+    HUBER = 4
+    TUKEY = 5
 
 
 class Metric(enum.IntEnum):

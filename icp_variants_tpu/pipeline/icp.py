@@ -70,10 +70,15 @@ def _solve(
     the 4x4 incremental pose applied from the left. With ``axis_name`` the
     correspondence axis is sharded over that mesh axis and the solvers psum
     their reductions."""
+    robust_w = cfg.weighting in (Weighting.HUBER, Weighting.TUKEY)
     if cfg.minimizer == Minimizer.LINEAR:
         if cfg.metric == Metric.POINT_TO_POINT:
             return procrustes.estimate_pose_point_to_point(
-                m.src_points, m.tgt_points, w, m.valid, axis_name=axis_name
+                m.src_points, m.tgt_points, w, m.valid, axis_name=axis_name,
+                # Robust weights zero out outliers; the reference's
+                # unweighted-mean quirk would feed them into the
+                # translation (see procrustes.py).
+                weighted_means=robust_w,
             )
         if cfg.metric == Metric.POINT_TO_PLANE:
             return linear.estimate_pose_point_to_plane(
@@ -343,7 +348,9 @@ def _iteration(
     )
 
     # --- stage 3: weighting (ICPOptimizer.h:271-272) ------------------------
-    w = weighting.apply_weights(cfg.weighting, m, cfg.max_distance)
+    w = weighting.apply_weights(
+        cfg.weighting, m, cfg.max_distance, axis_name=axis_name
+    )
     if stop_after == "weighting":
         return pose, match_cache, _probe_trace(jnp.sum(w) + jnp.sum(m.tgt_points))
 

@@ -26,18 +26,40 @@ def estimate_pose_point_to_point(
     weights: jax.Array,  # (N,)
     valid: jax.Array,    # (N,) bool
     axis_name: str | None = None,
+    weighted_means: bool = False,
 ) -> jax.Array:
     """Closed-form weighted Kabsch; returns the 4x4 incremental pose.
 
     With ``axis_name`` set, the N axis is sharded over a mesh axis: the means
     and the 3x3 cross-covariance reduce with psum, the SVD runs replicated.
-    """
-    m = valid.astype(jnp.float32)
-    src_mean = se3.masked_mean(src, valid, axis_name=axis_name)
-    tgt_mean = se3.masked_mean(tgt, valid, axis_name=axis_name)
 
-    sc = (src - src_mean) * (weights * m)[:, None]
-    dc = (tgt - tgt_mean) * m[:, None]
+    ``weighted_means=False`` keeps the reference's unweighted means + the
+    weighted-source-rows-only covariance (the quirks above) — harmless for
+    the reference's near-1 weights. The robust M-estimator weightings
+    (HUBER/TUKEY) drive weights to ~0 on outliers, and unweighted means
+    would feed those outliers straight into the TRANSLATION — so they use
+    ``weighted_means=True``: proper weighted Kabsch (weighted centroids,
+    weights applied once in the covariance)."""
+    m = valid.astype(jnp.float32)
+    if weighted_means:
+        wm = weights * m
+        wsum = jnp.sum(wm)
+        swsum = jnp.sum(src * wm[:, None], axis=0)
+        twsum = jnp.sum(tgt * wm[:, None], axis=0)
+        if axis_name is not None:
+            wsum = jax.lax.psum(wsum, axis_name)
+            swsum = jax.lax.psum(swsum, axis_name)
+            twsum = jax.lax.psum(twsum, axis_name)
+        denom = jnp.maximum(wsum, 1e-30)
+        src_mean = swsum / denom
+        tgt_mean = twsum / denom
+        sc = (src - src_mean) * wm[:, None]
+        dc = tgt - tgt_mean
+    else:
+        src_mean = se3.masked_mean(src, valid, axis_name=axis_name)
+        tgt_mean = se3.masked_mean(tgt, valid, axis_name=axis_name)
+        sc = (src - src_mean) * (weights * m)[:, None]
+        dc = (tgt - tgt_mean) * m[:, None]
     A = dc.T @ sc  # 3x3 cross-covariance (targetMatrix^T * sourceMatrix)
     if axis_name is not None:
         A = jax.lax.psum(A, axis_name)

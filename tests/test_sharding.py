@@ -331,6 +331,42 @@ class TestFullShardedRun:
         assert (nm_sh[:, 0] < nm_plain[:, 0]).all()
         assert (nm_sh <= nm_plain).all()
 
+    def test_robust_weighting_sharded_matches_single_device(self, mesh):
+        """HUBER weighting under the points axis: the MAD scale comes from
+        two psummed histogram quantiles, so the sharded run must reproduce
+        the single-device run (a per-shard scale would weigh each shard's
+        matches differently and diverge)."""
+        from icp_variants_tpu.pipeline.config import Weighting
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_POINT, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=5, weighting=Weighting.HUBER,
+        )
+        n_pairs, cap = 2, 2048
+        sources, targets = self._clouds(n_pairs, cap, seed=9)
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.trace.rmse), np.asarray(res_ref.trace.rmse),
+            rtol=1e-3, atol=1e-5,
+        )
+
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
