@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     def add_common(p):
         p.add_argument(
             "--metric", type=int, default=0,
-            help="0 point 1 plane 2 symmetric",
+            help="0 point 1 plane 2 symmetric (reference); 3 gicp (Generalized-ICP extension)",
         )
         p.add_argument("--linear", action="store_true")
         p.add_argument(

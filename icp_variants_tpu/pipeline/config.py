@@ -45,11 +45,14 @@ class Weighting(enum.IntEnum):
 
 
 class Metric(enum.IntEnum):
-    """ICPOptimizer.h:46-48 setMetric — error metric selection."""
+    """ICPOptimizer.h:46-48 setMetric — error metric selection. GICP is
+    an extension (Generalized-ICP plane-to-plane Mahalanobis metric,
+    solvers/linear.py gicp_whitener; no reference analog)."""
 
     POINT_TO_POINT = 0
     POINT_TO_PLANE = 1
     SYMMETRIC = 2
+    GICP = 3
 
 
 class Minimizer(enum.IntEnum):

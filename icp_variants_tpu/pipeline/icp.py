@@ -85,6 +85,11 @@ def _solve(
                 m.src_points, m.tgt_points, m.tgt_normals, w, m.valid,
                 axis_name=axis_name,
             )
+        if cfg.metric == Metric.GICP:
+            return linear.estimate_pose_gicp(
+                m.src_points, m.tgt_points, m.src_normals, m.tgt_normals,
+                w, m.valid, axis_name=axis_name,
+            )
         return linear.estimate_pose_symmetric(
             m.src_points, m.tgt_points, m.src_normals, m.tgt_normals, w, m.valid,
             axis_name=axis_name,

@@ -44,12 +44,19 @@ class _Residuals(NamedTuple):
     tgt_normals: jax.Array  # (N, 3) zeros where invalid
     w_point: jax.Array      # (N,) weight incl. mask for point rows
     w_metric: jax.Array     # (N,) weight incl. mask + finite-normal mask
+    gicp_l: jax.Array       # (N, 3, 3) GICP whiteners (zeros when unused;
+                            # fixed per ICP iteration, standard GICP IRLS)
 
 
 def _residual_fn(metric: Metric):
     def residuals(x: jax.Array, d: _Residuals) -> jax.Array:
         moved = se3.apply_increment(x, d.src)
         diff = moved - d.tgt
+        if metric == Metric.GICP:
+            # Pure Mahalanobis objective (no extra point rows — the
+            # isotropic floor lives inside the whitener's epsilon).
+            r = d.w_metric[:, None] * jnp.einsum("nji,nj->ni", d.gicp_l, diff)
+            return r.reshape(-1)
         r_point = (LAMBDA_POINT * d.w_point)[:, None] * diff  # (N, 3)
         parts = [r_point.reshape(-1)]
         if metric == Metric.POINT_TO_PLANE:
@@ -100,8 +107,19 @@ def solve_lm(
     finite_tn = jnp.isfinite(tgt_normals).all(axis=1)
     if metric == Metric.SYMMETRIC:
         finite_metric = (finite_sn & finite_tn).astype(src.dtype)
+    elif metric == Metric.GICP:
+        # Non-finite normals already degrade to isotropic covariance
+        # inside the whitener; no extra mask needed.
+        finite_metric = jnp.ones_like(mask)
     else:
         finite_metric = finite_tn.astype(src.dtype)
+
+    if metric == Metric.GICP:
+        from icp_variants_tpu.solvers import linear as linear_solvers
+
+        gicp_l = linear_solvers.gicp_whitener(src_normals, tgt_normals)
+    else:
+        gicp_l = jnp.zeros((src.shape[0], 3, 3), src.dtype)
 
     data = _Residuals(
         src=src,
@@ -110,6 +128,7 @@ def solve_lm(
         tgt_normals=jnp.where(finite_tn[:, None], tgt_normals, 0.0),
         w_point=weights * mask,
         w_metric=weights * mask * finite_metric,
+        gicp_l=gicp_l,
     )
     res_fn = _residual_fn(metric)
 

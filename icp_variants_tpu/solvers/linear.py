@@ -32,6 +32,7 @@ LAMBDA_POINT = 0.1       # ICPOptimizer.h:737
 LAMBDA_PLANE = 1.0       # ICPOptimizer.h:738
 LAMBDA_SYMMETRIC = 1.0   # ICPOptimizer.h:840
 TIKHONOV_SYMMETRIC = 1e-4  # ICPOptimizer.h:863
+GICP_EPSILON = 1e-3      # Segal et al., plane-disk covariance floor
 
 
 def _point_rows(s: jax.Array) -> jax.Array:
@@ -202,4 +203,78 @@ def estimate_pose_symmetric(
         @ se3.translation_matrix(t)
         @ rod
         @ se3.translation_matrix(-mean_src)
+    )
+
+
+def gicp_whitener(
+    src_normals: jax.Array,  # (N, 3) transformed source normals
+    tgt_normals: jax.Array,  # (N, 3)
+    eps: float = GICP_EPSILON,
+) -> jax.Array:
+    """Per-match GICP whitening matrices L, (N, 3, 3) lower-triangular.
+
+    Generalized-ICP (Segal et al., RSS 2009 — extension, no reference
+    analog) models each point as a plane-aligned Gaussian with covariance
+    ``C = I - (1 - eps) n n^T`` (unit variance in-plane, ``eps`` along the
+    normal) and minimizes the Mahalanobis distance under the combined
+    covariance ``C_t + R C_s R^T``. The source normals passed here are the
+    ALREADY-TRANSFORMED ones, so ``C_s' = R C_s R^T`` directly. L is the
+    Cholesky factor of ``M = (C_t + C_s')^{-1}``; whitened residuals
+    ``L^T d`` turn the Mahalanobis objective into plain least squares on
+    the MXU. Non-finite normals zero out => isotropic covariance
+    (graceful point-to-point fallback for that match). All 3x3 algebra is
+    batched (no data-dependent control flow)."""
+    ns = jnp.where(jnp.isfinite(src_normals), src_normals, 0.0)
+    nt = jnp.where(jnp.isfinite(tgt_normals), tgt_normals, 0.0)
+    eye = jnp.eye(3, dtype=src_normals.dtype)
+    c = (
+        2.0 * eye
+        - (1.0 - eps) * jnp.einsum("ni,nj->nij", ns, ns)
+        - (1.0 - eps) * jnp.einsum("ni,nj->nij", nt, nt)
+    )  # symmetric PD: eigenvalues in [2*eps, 2]
+    m = jnp.linalg.inv(c)
+    # Symmetrize against f32 inv roundoff before the Cholesky.
+    m = 0.5 * (m + jnp.swapaxes(m, -1, -2))
+    return jnp.linalg.cholesky(m)
+
+
+def estimate_pose_gicp(
+    src: jax.Array,          # (N, 3) matched transformed source points
+    tgt: jax.Array,          # (N, 3) matched target points
+    src_normals: jax.Array,  # (N, 3) transformed source normals
+    tgt_normals: jax.Array,  # (N, 3)
+    weights: jax.Array,      # (N,)
+    valid: jax.Array,        # (N,) bool
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Linearized Generalized-ICP solve; returns the 4x4 incremental pose.
+
+    One Gauss-Newton step on the whitened small-angle system: per match the
+    three point rows of ``Ms + t = d`` (the same small-angle blocks the
+    reference point metric uses) are premultiplied by ``L^T`` so their
+    normal equations accumulate the Mahalanobis objective. Centered at the
+    matched-target mean like the point-to-plane path (exact
+    reparametrization, f32 conditioning); Euler-angle pose recovery
+    identical."""
+    m = valid.astype(src.dtype)
+    w = weights * m
+
+    center = se3.masked_mean(tgt, valid, axis_name=axis_name)
+    s = src - center
+    d = tgt - center
+
+    L = gicp_whitener(src_normals, tgt_normals)
+    rows = jnp.einsum("nji,njk->nik", L, _point_rows(s))   # (N, 3, 6)
+    rhs = jnp.einsum("nji,nj->ni", L, d - s)               # (N, 3)
+    row_w = jnp.stack([w, w, w], axis=1)
+
+    ata, atb = _accumulate_normal_equations(rows, rhs, row_w, axis_name)
+    x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=ata.dtype), atb)
+
+    R = se3.euler_xyz_to_matrix(x[0], x[1], x[2])
+    pose_centered = se3.pose_matrix(R, x[3:6])
+    return (
+        se3.translation_matrix(center)
+        @ pose_centered
+        @ se3.translation_matrix(-center)
     )

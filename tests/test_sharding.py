@@ -367,6 +367,39 @@ class TestFullShardedRun:
             rtol=1e-3, atol=1e-5,
         )
 
+    def test_gicp_sharded_matches_single_device(self, mesh):
+        """GICP under the points axis: whiteners are per-match local math
+        and the 6x6 normal equations psum — the sharded run must reproduce
+        the single-device run."""
+        cfg = ICPConfig(
+            metric=Metric.GICP, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=5,
+        )
+        n_pairs, cap = 2, 2048
+        sources, targets = self._clouds(n_pairs, cap, seed=11)
+        gt_src = np.asarray(sources.points)
+        gt_tgt = np.asarray(targets.points)
+        gt_v = np.asarray(sources.valid)
+
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh,
+            gt_source_points=gt_src, gt_target_points=gt_tgt, gt_valid=gt_v,
+            key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.trace.rmse), np.asarray(res_ref.trace.rmse),
+            rtol=1e-3, atol=1e-5,
+        )
+
     def test_runner_cache_reused(self, mesh):
         cfg = ICPConfig(minimizer=Minimizer.LINEAR, max_distance=1.0,
                         n_iterations=2)
