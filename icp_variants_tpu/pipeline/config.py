@@ -164,7 +164,12 @@ class ICPConfig:
                      + (f" (p={self.selection_proba})" if self.selection == Selection.RANDOM else ""))
         lines.append(f"  2. Matching: {self.matching.name.lower()} (max sq distance {self.max_distance})")
         lines.append(f"  3. Weighting: {self.weighting.name.lower()}")
-        lines.append(f"  4. Rejection: {'angle of normals' if self.rejection else 'keep all'}")
+        rej = "angle of normals" if self.rejection else "keep all"
+        if self.trim_ratio < 1.0:
+            rej += f" + trimmed ICP (keep best {self.trim_ratio:.0%})"
+        lines.append(f"  4. Rejection: {rej}")
         lines.append(f"  5. Metric: {self.metric.name.lower()}")
         lines.append(f"  6. Minimizer: {self.minimizer.name.lower()}, {self.n_iterations} iterations")
+        if self.anderson_m > 0:
+            lines.append(f"  Anderson acceleration: window m={self.anderson_m}")
         return "\n".join(lines)
