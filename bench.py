@@ -268,14 +268,20 @@ def main():
     # headline (union matcher, no query reordering): the headline can pick
     # up the warm matcher's win but never regress below the proven config.
     state = prepare_host_state(pairs)
-    dt_warm = bench_tpu(pairs, Selection.RANDOM, warm=True, state=state)
+    # qorder=False on the warm arm: the block-aligned query reorder mixes
+    # Morton-distant source rows into each 128-query tile, which scatters
+    # the per-granule warm radii and costs ~2.6x on hardware
+    # (scripts/warm_ab_sweep_log.txt: 4.8 vs 12.7 pairs/s).
+    dt_warm = bench_tpu(
+        pairs, Selection.RANDOM, warm=True, qorder=False, state=state
+    )
     dt_cold = bench_tpu(
         pairs, Selection.RANDOM, warm=False, qorder=False, state=state
     )
     dt_tpu = min(dt_warm, dt_cold)
     warm_won = dt_warm <= dt_cold
     dt_fast = bench_tpu(
-        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=warm_won,
+        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=False,
         state=state,
     )
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
