@@ -1,6 +1,12 @@
-"""A/B the production matcher end-to-end on the bench program:
-union (kd_warm_start=False) vs warm (True), and sweep the warm knobs
-(granule G, top-K cap). One full 16-pair 50-iter program per config."""
+"""Follow-up A/B sweep (round 3): per-arm qorder control.
+
+The first sweep (warm_ab_sweep.py) ran most arms with the block-aligned
+query reorder ON, which costs the warm path ~30% (scattered per-granule
+radii) — so its knob arms were contaminated. This one re-runs the knob
+sweep with qorder OFF for warm arms, and adds the never-measured arm:
+UNION + qorder (no granule cache to scatter; the reorder should only
+shrink each tile's block-membership union there).
+"""
 
 import os
 import re
@@ -10,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "warm_ab_sweep_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "warm_ab_sweep2_log.txt"
 )
 
 _ANSI = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
@@ -44,14 +50,15 @@ def main():
         selection=Selection.RANDOM, selection_proba=bench.SELECTION_P,
         n_iterations=bench.N_ITERATIONS, max_distance=bench.MAX_DISTANCE,
     )
-    sources = icp.stack_clouds([
+    sclouds = [
         cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
         for (sp, sn, _, _) in pairs
-    ])
+    ]
     tclouds = [
         cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
         for (_, _, tp, tn) in pairs
     ]
+    sources = icp.stack_clouds(sclouds)
     targets = icp.stack_clouds(tclouds)
 
     kd_cache = {}
@@ -67,44 +74,32 @@ def main():
             ])
         return kd_cache[block_target]
 
-    sclouds = [
-        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-        for (sp, sn, _, _) in pairs
-    ]
+    order_cache = {}
 
-    def orders_for(cfg, block_target):
-        kds = kd_cache[block_target]
-        per_pair = [
-            jax.tree.map(lambda x, i=i: x[i], kds)
-            for i in range(len(sclouds))
-        ]
-        out = [
-            icp.build_query_order_for(cfg, s, kd)
-            for s, kd in zip(sclouds, per_pair)
-        ]
-        if any(o is None for o in out):
-            return None
-        return np.stack(out)
+    def orders_for(block_target):
+        # build_query_order depends only on the kd index (not the warm
+        # config), so one build serves warm and union arms alike.
+        if block_target not in order_cache:
+            kds = kds_for(block_target)
+            per_pair = [
+                jax.tree.map(lambda x, i=i: x[i], kds)
+                for i in range(len(sclouds))
+            ]
+            order_cache[block_target] = np.stack([
+                kdtree.build_query_order(
+                    np.asarray(s.points), np.asarray(s.valid), kd
+                )
+                for s, kd in zip(sclouds, per_pair)
+            ])
+        return order_cache[block_target]
 
-    def run_with(cfg, label, block_target=768, b=None, qorder=True):
+    def run_with(cfg, label, block_target=768, qorder=False):
         kds = kds_for(block_target)
-        qos = orders_for(cfg, block_target) if qorder else None
-        src, tgt = sources, targets
-        if b is not None and b != bench.BATCH_PAIRS:
-            import jax.numpy as jnp
-
-            reps = -(-b // bench.BATCH_PAIRS)
-            tile = lambda x: jnp.concatenate([x] * reps)[:b]  # noqa: E731
-            src = jax.tree.map(tile, sources)
-            tgt = jax.tree.map(tile, targets)
-            kds = jax.tree.map(tile, kds)
-            if qos is not None:
-                qos = np.concatenate([qos] * reps)[:b]
-        nb = b or bench.BATCH_PAIRS
+        qos = orders_for(block_target) if qorder else None
 
         def run(seed):
             res = icp.run_icp_batch(
-                cfg, src, tgt, key=jax.random.PRNGKey(seed),
+                cfg, sources, targets, key=jax.random.PRNGKey(seed),
                 kd_indexes=kds, query_orders=qos,
             )
             jax.device_get(res.pose)
@@ -116,7 +111,7 @@ def main():
         t0 = time.perf_counter()
         for s in range(3):
             run(s + 1)
-        dt = (time.perf_counter() - t0) / 3 / nb
+        dt = (time.perf_counter() - t0) / 3 / bench.BATCH_PAIRS
         nm = int(np.asarray(jax.device_get(res.trace.num_matches))[0, -1])
         log(
             f"{label:34s}: {1.0/dt:7.3f} pairs/s "
@@ -125,23 +120,27 @@ def main():
         )
 
     configs = [
-        (base, "warm G=128 bt=768 (default)", {}),
-        (base, "warm NO query order", {"qorder": False}),
-        (base.replace(kd_warm_start=False), "union (warm off)",
-         {"qorder": False}),
-        (base.replace(kd_warm_tile_q=64), "warm tile_q=64", {}),
-        (base.replace(kd_warm_tile_q=64), "warm tile_q=64 bt=384",
-         {"block_target": 384}),
+        (base, "warm (no qorder) [baseline]", {}),
+        (base.replace(kd_warm_start=False), "union + QORDER", {"qorder": True}),
         (base, "warm bt=512", {"block_target": 512}),
         (base, "warm bt=384", {"block_target": 384}),
-        (base, "warm B=32", {"b": 32}),
-        (base.replace(kd_warm_granule=32), "warm G=32", {}),
+        (base.replace(kd_warm_tile_q=256), "warm tile_q=256", {}),
+        (base.replace(kd_warm_granule=64), "warm G=64", {}),
+        (base.replace(kd_warm_granule=256), "warm G=256", {}),
+        (base.replace(kd_warm_start=False), "union + qorder bt=512",
+         {"qorder": True, "block_target": 512}),
     ]
     for cfg, label, kw in configs:
-        try:
-            run_with(cfg, label, **kw)
-        except Exception as e:  # noqa: BLE001
-            log(f"{label}: FAILED {type(e).__name__}: {str(e)[:150]}")
+        for attempt in range(2):
+            try:
+                run_with(cfg, label, **kw)
+                break
+            except Exception as e:  # noqa: BLE001
+                log(
+                    f"{label}: attempt {attempt} FAILED "
+                    f"{type(e).__name__}: {str(e)[:150]}"
+                )
+                time.sleep(10)
     log("done")
 
 
