@@ -51,14 +51,32 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
+def headline_config(selection=None, **overrides):
+    """THE benchmarked configuration — the same `ICPConfig` the production
+    ETH sweep runs (workloads/eth.py CLI with --metric 2 --linear), so the
+    headline number and the shipped defaults cannot drift apart (matcher
+    knobs like kd_warm_start ride the config's defaults;
+    tests/test_workloads.py pins this equality)."""
+    from icp_variants_tpu.pipeline.config import (
+        ICPConfig, Metric, Minimizer, Selection,
+    )
+
+    return ICPConfig(
+        metric=Metric.SYMMETRIC,
+        minimizer=Minimizer.LINEAR,
+        selection=Selection.RANDOM if selection is None else selection,
+        selection_proba=SELECTION_P,
+        n_iterations=N_ITERATIONS,
+        max_distance=MAX_DISTANCE,
+    ).replace(**overrides)
+
+
 def prepare_host_state(pairs, use_kd=True):
     """One-time host-side prep shared by every bench_tpu invocation:
-    Morton-ordered stacked clouds, per-target k-d builds (the FLANN
-    buildIndex analog, NearestNeighbor.h:122-141), and the block-aligned
-    query enumeration (same Bernoulli set distribution, tiles clustered on
-    ~the information-floor number of target blocks). Hoisted out of
-    bench_tpu so the warm/cold/fast rounds don't redo minutes of identical
-    host sorts and scipy builds."""
+    Morton-ordered stacked clouds and per-target k-d builds (the FLANN
+    buildIndex analog, NearestNeighbor.h:122-141). Hoisted out of
+    bench_tpu so the A/B rounds don't redo minutes of identical host
+    sorts and scipy builds."""
     from icp_variants_tpu.core import cloud as cloud_lib
     from icp_variants_tpu.ops import kdtree
     from icp_variants_tpu.pipeline import icp
@@ -75,62 +93,41 @@ def prepare_host_state(pairs, use_kd=True):
         "sources": icp.stack_clouds(source_clouds),
         "targets": icp.stack_clouds(target_clouds),
         "kd_indexes": None,
-        "query_orders": None,
     }
     if use_kd:
-        kds = [
+        state["kd_indexes"] = kdtree.stack_kd_indexes([
             kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
             for t in target_clouds
-        ]
-        state["kd_indexes"] = kdtree.stack_kd_indexes(kds)
-        state["query_orders"] = np.stack([
-            kdtree.build_query_order(
-                np.asarray(s.points), np.asarray(s.valid), kd
-            )
-            for s, kd in zip(source_clouds, kds)
         ])
     return state
 
 
-def bench_tpu(pairs, selection, use_kd=True, warm=None, qorder=True,
-              state=None):
+def bench_tpu(pairs, selection, use_kd=True, state=None, **overrides):
     """Batched registration: BATCH_PAIRS DISTINCT scan pairs per program
     (the ETH sweep's data-parallel axis, run on one chip). Returns
-    seconds/pair. ``selection`` picks the mode: RANDOM_FAST (the stratified
-    extension, headline) or RANDOM (reference-exact Bernoulli, parity).
+    seconds/pair. ``selection`` picks the mode: RANDOM (reference-exact
+    Bernoulli, headline) or RANDOM_FAST (the stratified extension).
     ``use_kd`` matches through the per-query k-d index (v3) instead of the
     tile visited-list kernel alone: 10.6 vs 8.3 pairs/s once the block
     gathers lower FLAT under the pair vmap and the exactness fallback
     hides behind a batch-global cond (scripts/bench_ab_kd_log.txt).
-    ``state`` (prepare_host_state) shares the host-side builds across
-    calls; built on demand when omitted."""
+    ``overrides`` replace ICPConfig fields for A/B arms (kd_warm_start
+    etc.). ``state`` (prepare_host_state) shares the host-side builds
+    across calls; built on demand when omitted."""
     import jax
 
     from icp_variants_tpu.pipeline import icp
-    from icp_variants_tpu.pipeline.config import (
-        ICPConfig, Metric, Minimizer,
-    )
 
-    cfg = ICPConfig(
-        metric=Metric.SYMMETRIC,
-        minimizer=Minimizer.LINEAR,
-        selection=selection,
-        selection_proba=SELECTION_P,
-        n_iterations=N_ITERATIONS,
-        max_distance=MAX_DISTANCE,
-    )
-    if warm is not None:
-        cfg = cfg.replace(kd_warm_start=warm)
+    cfg = headline_config(selection, **overrides)
     if state is None:
         state = prepare_host_state(pairs, use_kd=use_kd)
     sources, targets = state["sources"], state["targets"]
     kd_indexes = state["kd_indexes"] if use_kd else None
-    query_orders = state["query_orders"] if (use_kd and qorder) else None
 
     def run(seed):
         res = icp.run_icp_batch(
             cfg, sources, targets, key=jax.random.PRNGKey(seed),
-            kd_indexes=kd_indexes, query_orders=query_orders,
+            kd_indexes=kd_indexes,
         )
         # device_get forces a real device->host transfer; plain
         # block_until_ready is unreliable over this environment's tunneled
@@ -257,32 +254,26 @@ def main():
 
     pairs = make_pairs()
 
-    # HEADLINE = the reference-exact Bernoulli RANDOM mode: since the
-    # geometric-gap selection rewrite it is as fast as the RANDOM_FAST
-    # stratified extension, so the headline carries no selection-mode
-    # asterisk. The warm-start match cache is a config knob: measure both
-    # warm and cold (union) matchers and report the faster as headline —
-    # identical results either way (exactness tests cover both).
-    # RANDOM_FAST is reported alongside with the winning matcher.
-    # The cold run is the exact configuration of the last hardware-measured
-    # headline (union matcher, no query reordering): the headline can pick
-    # up the warm matcher's win but never regress below the proven config.
+    # HEADLINE = the reference-exact Bernoulli RANDOM mode under the
+    # PRODUCTION config defaults (headline_config == the CLI eth sweep's
+    # matcher config; tests pin the equality). Since the geometric-gap
+    # selection rewrite RANDOM is as fast as the RANDOM_FAST stratified
+    # extension, so the headline carries no selection-mode asterisk.
+    # The warm-start match cache is a config knob: measure both warm
+    # (the default — measured winner, 12.7 vs 11.5 pairs/s end-to-end on
+    # this exact program, scripts/warm_ab_sweep_log.txt) and cold (union)
+    # arms and report the faster — identical results either way (exactness
+    # tests cover both), so the headline never regresses below the proven
+    # fallback config.
     state = prepare_host_state(pairs)
-    # qorder=False on the warm arm: the block-aligned query reorder mixes
-    # Morton-distant source rows into each 128-query tile, which scatters
-    # the per-granule warm radii and costs ~2.6x on hardware
-    # (scripts/warm_ab_sweep_log.txt: 4.8 vs 12.7 pairs/s).
-    dt_warm = bench_tpu(
-        pairs, Selection.RANDOM, warm=True, qorder=False, state=state
-    )
+    dt_warm = bench_tpu(pairs, Selection.RANDOM, state=state)
     dt_cold = bench_tpu(
-        pairs, Selection.RANDOM, warm=False, qorder=False, state=state
+        pairs, Selection.RANDOM, kd_warm_start=False, state=state
     )
     dt_tpu = min(dt_warm, dt_cold)
     warm_won = dt_warm <= dt_cold
     dt_fast = bench_tpu(
-        pairs, Selection.RANDOM_FAST, warm=warm_won, qorder=False,
-        state=state,
+        pairs, Selection.RANDOM_FAST, kd_warm_start=warm_won, state=state,
     )
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).

@@ -34,6 +34,16 @@ def main(argv=None) -> int:
             "x1.08 on the tight-threshold bunny; see ROADMAP/PARITY)",
         )
         p.add_argument(
+            "--selection", type=int, default=0,
+            help="0 all 1 random Bernoulli(p) 2 random-fast (fixed-count "
+            "extension); reference SELECTION_METHOD (main.cpp:24)",
+        )
+        p.add_argument(
+            "--selection-proba", type=float, default=0.01,
+            help="sampling probability for --selection 1/2 "
+            "(reference uses 0.01, main.cpp:379)",
+        )
+        p.add_argument(
             "--weighting", type=int, default=0,
             help="0 constant 1 distances 2 normals 3 colors (reference "
             "modes); 4 Huber 5 Tukey (robust M-estimator extensions, "
@@ -87,13 +97,18 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
 
-    from icp_variants_tpu.pipeline.config import Metric, Minimizer, Weighting
+    from icp_variants_tpu.pipeline.config import (
+        Metric, Minimizer, Selection, Weighting,
+    )
 
     def mm(metric, linear):
         d = dict(
             metric=Metric(metric),
             minimizer=Minimizer.LINEAR if linear else Minimizer.NONLINEAR_LM,
         )
+        if getattr(args, "selection", 0):
+            d["selection"] = Selection(args.selection)
+            d["selection_proba"] = args.selection_proba
         if getattr(args, "anderson_m", 0):
             d["anderson_m"] = args.anderson_m
         if getattr(args, "trim_ratio", 1.0) < 1.0:

@@ -126,9 +126,6 @@ def register(
         # Large targets match through the per-query kd path (the bench
         # headline's production matcher); None for small/projective runs.
         kd_index=kd_index,
-        query_order=icp_mod.build_query_order_for(
-            config, source, kd_index, initial_pose
-        ),
     )
     return RegistrationResult(
         pose=np.asarray(jax.device_get(res.pose)),

@@ -188,48 +188,13 @@ def stack_kd_indexes(indexes) -> KDIndex:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *indexes)
 
 
-def build_query_order(
-    src_points: np.ndarray,
-    src_valid: np.ndarray,
-    index: KDIndex,
-    init_pose: np.ndarray | None = None,
-) -> np.ndarray:
-    """Host-side block-aligned query enumeration for the warm matcher.
-
-    Returns a (capacity,) int32 permutation of source rows ordered by the
-    TARGET kd block their (initial-pose-transformed) position falls
-    nearest, keeping Morton order within a block; invalid rows go last.
-    Running the Bernoulli gap selection over this enumeration instead of
-    raw Morton order leaves the selected-set distribution EXACTLY
-    unchanged (per-row Bernoulli is exchangeable under any fixed
-    enumeration) but makes each query tile span ~n_queries/queries-per-
-    block target blocks — the information floor — instead of whatever the
-    Morton cells straddle (measured 32 vs ~14 blocks/tile at bench
-    shapes, scripts/warm_dynamics_log.txt). Pose staleness only degrades
-    the clustering, never correctness: membership is recomputed exactly
-    per iteration. Under multi-resolution the stride lattice lives in
-    enumeration space (same class of deviation as the documented
-    Morton-vs-image-order stride subsampling, PARITY.md).
-    """
-    from scipy.spatial import cKDTree as _ckdtree
-
-    pts = np.asarray(src_points, np.float32)[:, :3]
-    valid = np.asarray(src_valid, bool)
-    if init_pose is not None:
-        pose = np.asarray(init_pose, np.float32)
-        pts = pts @ pose[:3, :3].T + pose[:3, 3]
-    centers = 0.5 * (
-        np.asarray(index.block_min)[:, :3] + np.asarray(index.block_max)[:, :3]
-    )
-    finite = np.isfinite(centers).all(axis=1)
-    centers = np.where(finite[:, None], centers, 1e30)
-    block = _ckdtree(centers).query(
-        np.nan_to_num(pts, nan=1e30, posinf=1e30, neginf=-1e30),
-        k=1, workers=-1,
-    )[1].astype(np.int64)
-    # Invalid rows sort last; stable sort keeps Morton order within keys.
-    key = np.where(valid, block, len(centers) + 1)
-    return np.argsort(key, kind="stable").astype(np.int32)
+# NOTE: a host-side "block-aligned query enumeration" (re-ordering source
+# rows by nearest target kd block so each query tile clusters on fewer
+# blocks) lived here through rounds 2-3. It LOST on hardware in every
+# matcher configuration — warm 9.2 vs 12.7 pairs/s (it scatters the
+# per-granule warm radii), union 7.7 vs 11.5 — and was deleted; the
+# measurement evidence is scripts/warm_ab_sweep_log.txt and
+# scripts/warm_ab_sweep2_log.txt.
 
 
 @jax.custom_batching.custom_vmap

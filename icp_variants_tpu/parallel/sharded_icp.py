@@ -158,17 +158,10 @@ def run_icp_batch_sharded(
     ``pairs`` and replicated over ``points`` exactly like the target — each
     query shard searches the full index, so results are layout-independent.
 
-    There is deliberately NO ``query_orders`` parameter here: the
-    block-aligned enumeration is a GLOBAL row permutation, and remapping a
-    shard's selected lattice positions through it lands on rows owned by
-    other shards — an all-to-all per iteration, and a break of the exact
-    selection parity with the unsharded runner that the tests pin. On a
-    pod, get the same clustering for free by pre-permuting each source
-    cloud on the host (kdtree.build_query_order applied to the rows before
-    ``stack_clouds``) — the permutation is then baked into the row layout
-    each shard owns. Row-aligned oracle arrays (``gt_source_points`` /
-    ``gt_target_points`` / ``gt_valid`` in the ETH style) must be permuted
-    identically.
+    Queries enumerate in load-time Morton order, same as the unsharded
+    runner (the block-aligned query re-enumeration experiment was deleted
+    after losing on hardware in every configuration — see
+    scripts/warm_ab_sweep2_log.txt).
     """
     has_pairs = PAIRS_AXIS in mesh.shape
     has_points = POINTS_AXIS in mesh.shape

@@ -192,7 +192,6 @@ def _iteration(
     stop_after: str | None = None,
     match_cache: jax.Array | None = None,
     target_feats: jax.Array | None = None,
-    query_order: jax.Array | None = None,
 ):
     """One pipeline iteration; returns ``(pose, match_cache, trace)``.
 
@@ -201,18 +200,14 @@ def _iteration(
     warm-start kd matching; threaded unchanged when warm start is off.
     ``target_feats`` is the original-row feature table distances are
     measured in (points, or color features under color-ICP).
-    ``query_order`` (a (capacity,) host-built permutation,
-    kdtree.build_query_order) re-enumerates rows for the compacted random
-    selections so each query tile clusters by target kd block. For
-    Bernoulli RANDOM the selected-SET distribution is exactly unchanged
-    (iid per-row draws are exchangeable under any fixed enumeration); for
-    the RANDOM_FAST extension the stratification space moves from Morton
-    order to the block-aligned enumeration (still one uniform draw per
-    equal-size stratum — a different but equally valid stratified design,
-    documented extension semantics). Under multi-resolution the gap-RANDOM
-    stride lattice lives in enumeration space while RANDOM_FAST masks the
-    stride in original-row space (both are valid coarse subsets — same
-    class of deviation as the Morton-vs-image-order striding, PARITY.md).
+
+    Queries enumerate in the clouds' load-time Morton order. A
+    block-aligned re-enumeration (clustering each query tile on fewer
+    target kd blocks) was built and measured in rounds 2-3 and LOST on
+    hardware in every configuration — warm 9.2 vs 12.7 pairs/s (scattered
+    per-granule radii), union 7.7 vs 11.5 (scattered gathers) — so the
+    machinery was deleted (scripts/warm_ab_sweep_log.txt,
+    scripts/warm_ab_sweep2_log.txt).
     """
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.
@@ -252,8 +247,6 @@ def _iteration(
             key, cfg.selection_proba, sel_stride, source.capacity, k_cap,
             index_offset=index_offset,
         )
-        if query_order is not None:
-            sel_idx = query_order[sel_idx]
         if cfg.multi_resolution:
             residual = source.valid & jnp.isfinite(source.normals).all(axis=1)
         else:
@@ -270,8 +263,6 @@ def _iteration(
         sel_idx, sel_mask = selection.random_indices(
             key, source.capacity, n_draw, k_cap
         )
-        if query_order is not None:
-            sel_idx = query_order[sel_idx]
         sel_mask = sel_mask & base_mask[sel_idx]
         source = _compact_cloud(source, sel_idx, sel_mask)
     else:
@@ -424,7 +415,6 @@ def _run_icp_jit(
     run_benchmark: bool,
     stop_after: str | None = None,
     kd_index: kdtree.KDIndex | None = None,
-    query_order: jax.Array | None = None,
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
@@ -458,7 +448,6 @@ def _run_icp_jit(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
             run_benchmark, target_index=target_index, kd_index=kd_index,
             stop_after=stop_after, match_cache=cache, target_feats=feats,
-            query_order=query_order,
         )
         if aa is not None:
             # The per-iteration trace reflects the PLAIN step's pose (the
@@ -490,7 +479,6 @@ def run_icp(
     num_source_points: int | None = None,
     stop_after: str | None = None,
     kd_index: kdtree.KDIndex | None = None,
-    query_order: jax.Array | np.ndarray | None = None,
 ) -> ICPResult:
     """Estimate the pose aligning ``source`` onto ``target``.
 
@@ -549,9 +537,6 @@ def run_icp(
         run_benchmark,
         stop_after=stop_after,
         kd_index=kd_index,
-        query_order=(
-            None if query_order is None else jnp.asarray(query_order)
-        ),
     )
 
 
@@ -571,17 +556,16 @@ def _run_icp_batch_jit(
     gt_valid: jax.Array,    # (B, G)
     run_benchmark: bool,
     kd_indexes: kdtree.KDIndex | None = None,  # leading batch axis per leaf
-    query_orders: jax.Array | None = None,     # (B, capacity) or None
 ) -> ICPResult:
-    def one(source, target, pose0, key, gs, gtv_, gv, kd, qo):
+    def one(source, target, pose0, key, gs, gtv_, gv, kd):
         return _run_icp_jit(
             cfg, num_iterations, source, target, pose0, strides, key,
-            gs, gtv_, gv, run_benchmark, kd_index=kd, query_order=qo,
+            gs, gtv_, gv, run_benchmark, kd_index=kd,
         )
 
     return jax.vmap(one)(
         sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid,
-        kd_indexes, query_orders,
+        kd_indexes,
     )
 
 
@@ -598,7 +582,6 @@ def run_icp_batch(
     run_benchmark: bool = False,
     num_source_points: int | None = None,
     kd_indexes: kdtree.KDIndex | None = None,
-    query_orders=None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
@@ -640,9 +623,6 @@ def run_icp_batch(
         cfg, int(strides.shape[0]), sources, targets,
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
         gt_src, gt_tgt, gtv, run_benchmark, kd_indexes=kd_indexes,
-        query_orders=(
-            None if query_orders is None else jnp.asarray(query_orders)
-        ),
     )
 
 
@@ -661,35 +641,12 @@ KD_MIN_POINTS = 20_000
 KD_MAX_SELECTION_P = 0.05
 
 
-def build_query_order_for(
-    cfg: ICPConfig,
-    source: Cloud,
-    kd_index: kdtree.KDIndex | None,
-    init_pose=None,
-) -> np.ndarray | None:
-    """Host-side block-aligned query enumeration (kdtree.build_query_order)
-    when the kd warm path will run with compacted random selection; None
-    otherwise. Selection distributions are unchanged (exchangeability);
-    only the compacted buffer's ORDER changes, clustering each query tile
-    on ~the information-floor number of target blocks."""
-    if kd_index is None or not cfg.kd_warm_start:
-        return None
-    if not _kd_selection_applies(cfg):
-        return None
-    return kdtree.build_query_order(
-        np.asarray(jax.device_get(source.points)),
-        np.asarray(jax.device_get(source.valid)),
-        kd_index,
-        None if init_pose is None else np.asarray(jax.device_get(init_pose)),
-    )
-
-
 def _kd_selection_applies(cfg: ICPConfig) -> bool:
     """Single source of truth for "the per-query kd path will run with this
-    selection config": sparse compacted random selection only. Shared by
-    ``build_kd_for`` and ``build_query_order_for`` so the two gates cannot
-    drift apart (a drifted order build is wasted host work per pair, or a
-    missing order on a path that wanted it)."""
+    selection config": sparse compacted random selection only. Every
+    runner (bench, CLI sweep, experiments) gates its kd build through
+    ``build_kd_for`` -> here, so the production matcher configuration
+    always equals the benchmarked one."""
     if cfg.selection not in (Selection.RANDOM, Selection.RANDOM_FAST):
         return False
     if cfg.selection_proba > KD_MAX_SELECTION_P:

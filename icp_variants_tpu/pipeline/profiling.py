@@ -224,7 +224,6 @@ def profile_fused_stages(
     repetitions: int = 3,
     run_benchmark: bool = False,
     kd_index=None,
-    query_order=None,
 ) -> StageTimes:
     """Per-stage timing of the REAL fused scan (TimeMeasure.h:20-60
     semantics inside one compiled program).
@@ -233,22 +232,16 @@ def profile_fused_stages(
     (``stop_after`` probes — same `lax.scan`, same kernels) and attributes
     per-iteration time by differencing. Unlike :func:`profile_stages`, the
     numbers include exactly the fusion/overlap the production program gets.
-    ``query_order`` defaults to the permutation the production drivers
-    build (``build_query_order_for``) so the profiled executable IS the
-    production one; pass an explicit order (or one built from a different
-    pose) to profile variants.
     """
     from icp_variants_tpu.pipeline import icp as icp_mod
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    if query_order is None and kd_index is not None:
-        query_order = icp_mod.build_query_order_for(cfg, source, kd_index)
 
     def run_variant(stage):
         res = icp_mod.run_icp(
             cfg, source, target, key=key, run_benchmark=run_benchmark,
-            stop_after=stage, kd_index=kd_index, query_order=query_order,
+            stop_after=stage, kd_index=kd_index,
         )
         # device_get: block_until_ready returns early over tunneled backends.
         jax.device_get(res.trace.rmse)
@@ -294,7 +287,6 @@ def kernel_efficiency(
     solver_time: float,
     key=None,
     kd_index=None,
-    query_order=None,
 ) -> str:
     """Achieved-FLOPs/bandwidth estimate for the two flagship kernels
     (BASELINE.json "kernel efficiency" row): the matcher (visited-list
@@ -309,10 +301,9 @@ def kernel_efficiency(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    # Reconstruct iteration-0 queries exactly like stage 1 does: same
-    # query_order remap and, under multi-resolution, the coarsest initial
-    # stride (modeling stride 1 would overstate the query count by the
-    # stride factor).
+    # Reconstruct iteration-0 queries exactly like stage 1 does: under
+    # multi-resolution, the coarsest initial stride (modeling stride 1
+    # would overstate the query count by the stride factor).
     from icp_variants_tpu.ops import selection as sel_mod
 
     keys = jax.random.split(key, max(cfg.n_iterations, 1))
@@ -322,15 +313,12 @@ def kernel_efficiency(
             cfg.multi_resolution, cfg.multi_resolution_min_points,
         )[0]
     )
-    qorder = None if query_order is None else jnp.asarray(query_order)
     if cfg.selection == Selection.RANDOM_FAST:
         k_cap = icp_mod._compact_capacity(source.capacity, cfg.selection_proba)
         n_draw = min(int(source.capacity * cfg.selection_proba + 0.5), k_cap)
         sel_idx, sel_mask = sel_mod.random_indices(
             keys[0], source.capacity, n_draw, k_cap
         )
-        if qorder is not None:
-            sel_idx = qorder[sel_idx]
         q = source.points[sel_idx]
     elif cfg.selection == Selection.RANDOM and cfg.compact_queries:
         k_cap = icp_mod._compact_capacity(source.capacity, cfg.selection_proba)
@@ -338,8 +326,6 @@ def kernel_efficiency(
             keys[0], cfg.selection_proba, jnp.int32(stride0),
             source.capacity, k_cap,
         )
-        if qorder is not None:
-            sel_idx = qorder[sel_idx]
         sel_mask = in_range & source.valid[sel_idx]
         q = source.points[sel_idx]
     else:
@@ -451,20 +437,15 @@ def kernel_efficiency(
 
 def fused_report(
     cfg, source, target, *, key=None, repetitions: int = 3, kd_index=None,
-    query_order=None,
 ) -> str:
     """The ``--profile`` surface: fused per-stage breakdown + kernel
     efficiency, from the production executable."""
-    from icp_variants_tpu.pipeline import icp as icp_mod
-
-    if query_order is None and kd_index is not None:
-        query_order = icp_mod.build_query_order_for(cfg, source, kd_index)
     times = profile_fused_stages(
         cfg, source, target, key=key, repetitions=repetitions,
-        kd_index=kd_index, query_order=query_order,
+        kd_index=kd_index,
     )
     eff = kernel_efficiency(
         cfg, source, target, times.matching, times.solver, key=key,
-        kd_index=kd_index, query_order=query_order,
+        kd_index=kd_index,
     )
     return times.report() + "\n" + eff

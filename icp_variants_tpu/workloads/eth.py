@@ -159,8 +159,8 @@ def align_eth_batch(
 
     def load_batch(idxs):
         # ALL per-pair host-side prep happens here, on the worker thread:
-        # kd builds, pose scaling/perturbation, and the scipy query-order
-        # builds — the consumer thread only stacks and launches programs.
+        # kd builds and pose scaling/perturbation — the consumer thread
+        # only stacks and launches programs.
         samples = loader.get_items(idxs)
         kds = [icp.build_kd_for(cfg, s.target) for s in samples]
         scaled = [scale_pose(s.pose, pose_scaling) for s in samples]
@@ -168,15 +168,8 @@ def align_eth_batch(
             perturb_cloud(s.source, sc) for s, sc in zip(samples, scaled)
         ]
         if any(k is None for k in kds):
-            return samples, None, scaled, perturbed, None
-        orders = [
-            icp.build_query_order_for(cfg, src, kd)
-            for src, kd in zip(perturbed, kds)
-        ]
-        query_orders = (
-            np.stack(orders) if all(o is not None for o in orders) else None
-        )
-        return samples, kdtree_stack(kds), scaled, perturbed, query_orders
+            return samples, None, scaled, perturbed
+        return samples, kdtree_stack(kds), scaled, perturbed
 
     def kdtree_stack(kds):
         from icp_variants_tpu.ops import kdtree
@@ -203,7 +196,7 @@ def align_eth_batch(
             if not all(i in done for i in idxs)
         ]
     prefetched = Prefetcher(batch_indices, load_batch, depth=1)
-    for idxs, (samples, kd_indexes, perturbations, sources, query_orders) in (
+    for idxs, (samples, kd_indexes, perturbations, sources) in (
         zip(batch_indices, prefetched)
     ):
         start = idxs[0]
@@ -221,7 +214,6 @@ def align_eth_batch(
             key=jax.random.PRNGKey(seed + start),
             run_benchmark=True,
             kd_indexes=kd_indexes,
-            query_orders=query_orders,
             num_source_points=num_source_points,
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
@@ -417,7 +409,6 @@ def align_eth(
             key=jax.random.PRNGKey(seed + index),
             run_benchmark=True,
             kd_index=kd_index,
-            query_order=icp.build_query_order_for(cfg, source, kd_index),
         )
         rmse = np.asarray(jax.device_get(res.trace.rmse))
         bench = np.asarray(jax.device_get(res.trace.benchmark))

@@ -67,28 +67,11 @@ def main():
             ])
         return kd_cache[block_target]
 
-    sclouds = [
-        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
-        for (sp, sn, _, _) in pairs
-    ]
-
-    def orders_for(cfg, block_target):
-        kds = kd_cache[block_target]
-        per_pair = [
-            jax.tree.map(lambda x, i=i: x[i], kds)
-            for i in range(len(sclouds))
-        ]
-        out = [
-            icp.build_query_order_for(cfg, s, kd)
-            for s, kd in zip(sclouds, per_pair)
-        ]
-        if any(o is None for o in out):
-            return None
-        return np.stack(out)
-
-    def run_with(cfg, label, block_target=768, b=None, qorder=True):
+    def run_with(cfg, label, block_target=768, b=None):
+        # (The block-aligned query-order arms this sweep also measured in
+        # round 3 used machinery that has since been deleted — it lost in
+        # every configuration; the log retains those measurements.)
         kds = kds_for(block_target)
-        qos = orders_for(cfg, block_target) if qorder else None
         src, tgt = sources, targets
         if b is not None and b != bench.BATCH_PAIRS:
             import jax.numpy as jnp
@@ -98,14 +81,12 @@ def main():
             src = jax.tree.map(tile, sources)
             tgt = jax.tree.map(tile, targets)
             kds = jax.tree.map(tile, kds)
-            if qos is not None:
-                qos = np.concatenate([qos] * reps)[:b]
         nb = b or bench.BATCH_PAIRS
 
         def run(seed):
             res = icp.run_icp_batch(
                 cfg, src, tgt, key=jax.random.PRNGKey(seed),
-                kd_indexes=kds, query_orders=qos,
+                kd_indexes=kds,
             )
             jax.device_get(res.pose)
             return res
@@ -126,14 +107,8 @@ def main():
 
     configs = [
         (base, "warm G=128 bt=768 (default)", {}),
-        (base, "warm NO query order", {"qorder": False}),
-        (base.replace(kd_warm_start=False), "union (warm off)",
-         {"qorder": False}),
+        (base.replace(kd_warm_start=False), "union (warm off)", {}),
         (base.replace(kd_warm_tile_q=64), "warm tile_q=64", {}),
-        (base.replace(kd_warm_tile_q=64), "warm tile_q=64 bt=384",
-         {"block_target": 384}),
-        (base, "warm bt=512", {"block_target": 512}),
-        (base, "warm bt=384", {"block_target": 384}),
         (base, "warm B=32", {"b": 32}),
         (base.replace(kd_warm_granule=32), "warm G=32", {}),
     ]

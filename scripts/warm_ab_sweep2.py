@@ -2,10 +2,12 @@
 
 The first sweep (warm_ab_sweep.py) ran most arms with the block-aligned
 query reorder ON, which costs the warm path ~30% (scattered per-granule
-radii) — so its knob arms were contaminated. This one re-runs the knob
-sweep with qorder OFF for warm arms, and adds the never-measured arm:
-UNION + qorder (no granule cache to scatter; the reorder should only
-shrink each tile's block-membership union there).
+radii) — so its knob arms were contaminated. This one re-ran the knob
+sweep with qorder OFF for warm arms, plus the never-measured arm
+UNION + qorder. RESULT (scripts/warm_ab_sweep2_log.txt): qorder lost in
+every configuration (union 7.7 vs 11.5 pairs/s; warm 9.2 vs 12.7), so
+the query-order machinery was deleted from the package; this script now
+keeps only the surviving arms so it stays runnable.
 """
 
 import os
@@ -74,33 +76,13 @@ def main():
             ])
         return kd_cache[block_target]
 
-    order_cache = {}
-
-    def orders_for(block_target):
-        # build_query_order depends only on the kd index (not the warm
-        # config), so one build serves warm and union arms alike.
-        if block_target not in order_cache:
-            kds = kds_for(block_target)
-            per_pair = [
-                jax.tree.map(lambda x, i=i: x[i], kds)
-                for i in range(len(sclouds))
-            ]
-            order_cache[block_target] = np.stack([
-                kdtree.build_query_order(
-                    np.asarray(s.points), np.asarray(s.valid), kd
-                )
-                for s, kd in zip(sclouds, per_pair)
-            ])
-        return order_cache[block_target]
-
-    def run_with(cfg, label, block_target=768, qorder=False):
+    def run_with(cfg, label, block_target=768):
         kds = kds_for(block_target)
-        qos = orders_for(block_target) if qorder else None
 
         def run(seed):
             res = icp.run_icp_batch(
                 cfg, sources, targets, key=jax.random.PRNGKey(seed),
-                kd_indexes=kds, query_orders=qos,
+                kd_indexes=kds,
             )
             jax.device_get(res.pose)
             return res
@@ -120,15 +102,12 @@ def main():
         )
 
     configs = [
-        (base, "warm (no qorder) [baseline]", {}),
-        (base.replace(kd_warm_start=False), "union + QORDER", {"qorder": True}),
+        (base, "warm [baseline]", {}),
         (base, "warm bt=512", {"block_target": 512}),
         (base, "warm bt=384", {"block_target": 384}),
         (base.replace(kd_warm_tile_q=256), "warm tile_q=256", {}),
         (base.replace(kd_warm_granule=64), "warm G=64", {}),
         (base.replace(kd_warm_granule=256), "warm G=256", {}),
-        (base.replace(kd_warm_start=False), "union + qorder bt=512",
-         {"qorder": True, "block_target": 512}),
     ]
     for cfg, label, kw in configs:
         for attempt in range(2):

@@ -18,24 +18,18 @@ def test_bench_arms_run_and_share_state(monkeypatch):
     pairs = bench.make_pairs()
     state = bench.prepare_host_state(pairs)
     assert state["kd_indexes"] is not None
-    # Query-order rows must match the source capacity (whatever padding
-    # the cloud layer applies).
-    assert state["query_orders"].shape == state["sources"].points.shape[:2]
 
     dts = {
-        "warm": bench.bench_tpu(
-            pairs, Selection.RANDOM, warm=True, state=state
-        ),
+        "warm": bench.bench_tpu(pairs, Selection.RANDOM, state=state),
         "cold": bench.bench_tpu(
-            pairs, Selection.RANDOM, warm=False, qorder=False, state=state
+            pairs, Selection.RANDOM, kd_warm_start=False, state=state
         ),
         "fast_warm": bench.bench_tpu(
-            pairs, Selection.RANDOM_FAST, warm=True, state=state
+            pairs, Selection.RANDOM_FAST, state=state
         ),
         # The configuration main() uses when the cold matcher wins.
         "fast_cold": bench.bench_tpu(
-            pairs, Selection.RANDOM_FAST, warm=False, qorder=False,
-            state=state,
+            pairs, Selection.RANDOM_FAST, kd_warm_start=False, state=state,
         ),
     }
     for name, dt in dts.items():

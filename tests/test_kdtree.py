@@ -600,67 +600,3 @@ class TestWarmStart:
             assert agree.all()
 
 
-class TestQueryOrder:
-    def test_permutation_and_clustering(self):
-        rng = np.random.default_rng(0)
-        t = rng.uniform(-10, 10, (30000, 3)).astype(np.float32)
-        s = (t + rng.normal(0, 0.05, t.shape)).astype(np.float32)
-        valid = np.ones(30000, bool)
-        valid[-500:] = False
-        idx = kdtree.build_kd_index(t)
-        order = kdtree.build_query_order(s, valid, idx)
-        assert sorted(order.tolist()) == list(range(30000))
-        # Invalid rows must sort last.
-        assert set(order[-500:].tolist()) == set(range(29500, 30000))
-        # Consecutive VALID rows must cluster by block: count distinct
-        # nearest-block ids per 128-row window, vs raw order.
-        from scipy.spatial import cKDTree
-        centers = 0.5 * (np.asarray(idx.block_min) + np.asarray(idx.block_max))
-        blk = cKDTree(centers).query(s, k=1, workers=-1)[1]
-        def mean_distinct(rows):
-            w = rows[: (len(rows) // 128) * 128].reshape(-1, 128)
-            return np.mean([len(np.unique(blk[r])) for r in w])
-        ordered = mean_distinct(order[:29500])
-        raw = mean_distinct(np.arange(29500))
-        assert ordered < 3  # block-grouped windows touch ~1-2 blocks
-        assert ordered < raw
-
-    def test_run_icp_with_query_order_converges(self):
-        """e2e: the block-aligned enumeration must not change convergence
-        (same Bernoulli set distribution; different draw)."""
-        from icp_variants_tpu.core.cloud import from_numpy
-        from icp_variants_tpu.pipeline import icp
-        from icp_variants_tpu.pipeline.config import (
-            ICPConfig, Metric, Minimizer, Selection,
-        )
-
-        t = _clouds(n_t=30000, n_q=1)[1]
-        ang = 0.03
-        R = np.array([[np.cos(ang), -np.sin(ang), 0],
-                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
-        s = (t @ R.T + np.array([0.1, -0.05, 0.02], np.float32)).astype(
-            np.float32)
-        nrm = np.tile(np.array([0, 0, 1], np.float32), (len(t), 1))
-        source = from_numpy(s, normals=nrm, morton_order=True)
-        target = from_numpy(t, normals=nrm, morton_order=True)
-        kd = kdtree.build_kd_index(np.asarray(target.points),
-                                   np.asarray(target.valid))
-        cfg = ICPConfig(
-            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
-            selection=Selection.RANDOM, selection_proba=0.05,
-            n_iterations=10, max_distance=4.0,
-        )
-        qo = icp.build_query_order_for(cfg, source, kd)
-        assert qo is not None
-        res = icp.run_icp(
-            cfg, source, target, key=jax.random.PRNGKey(1), kd_index=kd,
-            query_order=qo, gt_source_points=s, gt_target_points=t,
-        )
-        res0 = icp.run_icp(
-            cfg, source, target, key=jax.random.PRNGKey(1), kd_index=kd,
-            gt_source_points=s, gt_target_points=t,
-        )
-        r1 = np.asarray(res.trace.rmse)
-        r0 = np.asarray(res0.trace.rmse)
-        assert r1[-1] < 0.05 and r0[-1] < 0.05
-        assert r1[-1] < r1[0] * 0.5

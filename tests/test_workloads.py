@@ -205,6 +205,38 @@ class TestReferenceMatrix:
             assert r.config.max_distance == 0.0003  # main.cpp:61-75
 
 
+class TestHeadlineConfigParity:
+    """One config source of truth (ROADMAP r3): the bench headline arm IS
+    the production ETH sweep's config, and both obtain their matcher
+    plumbing (kd gating) through the same config-driven gates — so
+    `python -m icp_variants_tpu eth` can never silently run a matcher
+    combination the benchmark didn't measure."""
+
+    def test_bench_headline_equals_cli_eth_config(self):
+        import bench
+
+        # CLI equivalent of the headline workload:
+        #   python -m icp_variants_tpu eth poses.csv \
+        #       --metric 2 --linear --selection 1 --selection-proba 0.01
+        cli_cfg = eth.default_config(
+            metric=Metric.SYMMETRIC, minimizer=Minimizer.LINEAR,
+            selection=Selection.RANDOM, selection_proba=0.01,
+        )
+        assert bench.headline_config() == cli_cfg
+
+    def test_headline_matcher_gates(self):
+        import bench
+        from icp_variants_tpu.pipeline import icp
+
+        cfg = bench.headline_config()
+        # The measured-winner defaults: warm matcher on
+        # (scripts/warm_ab_sweep_log.txt: 12.7 vs 11.5 pairs/s); the
+        # losing block-aligned query reorder is deleted outright.
+        assert cfg.kd_warm_start
+        assert icp._kd_selection_applies(cfg)
+        assert not hasattr(cfg, "kd_query_order")
+
+
 class TestETHBatch:
     def test_batch_matches_sequential(self, tmp_path):
         csv_path = make_eth_sequence(tmp_path, n_pairs=3)
