@@ -392,6 +392,10 @@ def nn_search_kd_union(
 # Query tiles per prefix-kernel grid step: output rows must tile in
 # (8, 128) sublane/lane units, so each step reduces 8 query tiles.
 _PREFIX_GROUP = 8
+# Compute-gating subgroup width of the bitmap kernel (knn.SG_WIDTH):
+# per-subgroup membership bits ride the prefix's mask output so the
+# search kernel can skip (subgroup, block) pairs no subgroup query needs.
+_SG_WIDTH = 8
 
 
 def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
@@ -408,11 +412,22 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
     ``resid`` is the (k+1)-th extraction minimum — the certificate that
     no UNEXAMINED block can beat the found distance. With ``k == 0`` the
     membership is radius-complete and the certificate trivially holds
-    (resid = +inf)."""
+    (resid = +inf).
+
+    ``mask_ref`` carries per-SUBGROUP membership: bit g of ``mask[s, c]``
+    is set iff any query of tile s's g-th ``_SG_WIDTH``-row subgroup has
+    block c in its hit set. The search kernel gates its distance compute
+    per (subgroup, block) on these bits — the host probe measured the
+    tile-level union costing 5-7x the per-subgroup information floor
+    (scripts/subgroup_union_log.txt). Bits are accumulated with two MXU
+    matmuls (subgroup-selector then power-of-two packing) instead of 128
+    unrolled row reductions: exact in f32 (counts < 2^24)."""
+
+    n_sub = tile_q // _SG_WIDTH
 
     def kernel(
         q_ref, binit_ref, bmin_ref, bmax_ref,
-        member_ref, hot_ref, lbtile_ref, resid_ref,
+        member_ref, hot_ref, lbtile_ref, resid_ref, mask_ref,
     ):
         lb = None
         for j in range(d):
@@ -451,16 +466,51 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
             hot_ref[s:s + 1, :] = jnp.max(hot[rows], axis=0, keepdims=True)
             lbtile_ref[s:s + 1, :] = jnp.min(lb[rows], axis=0, keepdims=True)
 
+        # Per-subgroup membership bits. counts[i, c] = #hits of global
+        # subgroup i (row span [i*_SG_WIDTH, (i+1)*_SG_WIDTH)) in block c;
+        # mask[s, c] = sum_g [counts[s*n_sub+g, c] > 0] * 2^g.
+        gq = _PREFIX_GROUP * tile_q
+        n_groups = gq // _SG_WIDTH
+        # Mosaic's tpu.iota is integer-only on hardware (interpret mode
+        # accepts f32) — build selectors in int32 and cast for the dots.
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 1)
+        sel = (cols_i // _SG_WIDTH == rows_i).astype(jnp.float32)
+        counts = jax.lax.dot(
+            sel, hit, precision=jax.lax.Precision.HIGHEST
+        )                                               # (n_groups, nc)
+        bits = jnp.minimum(counts, 1.0)
+        g_r = jax.lax.broadcasted_iota(
+            jnp.int32, (_PREFIX_GROUP, n_groups), 0
+        )
+        g_c = jax.lax.broadcasted_iota(
+            jnp.int32, (_PREFIX_GROUP, n_groups), 1
+        )
+        g_off = g_c - g_r * n_sub
+        # Integer shift: exact powers of two (n_sub <= 16 so < 2^24, safe
+        # as f32 dot operands; a f32 exp2 path landed ulps BELOW the exact
+        # power and truncated to value-1 on the int cast).
+        pow2 = jnp.where(
+            (g_off >= 0) & (g_off < n_sub),
+            jnp.left_shift(1, jnp.clip(g_off, 0, n_sub - 1)),
+            0,
+        ).astype(jnp.float32)
+        mask_ref[:] = jnp.round(jax.lax.dot(
+            pow2, bits, precision=jax.lax.Precision.HIGHEST
+        )).astype(jnp.int32)                            # (_PREFIX_GROUP, nc)
+
     return kernel
 
 
 def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
     """Per-query-exact membership (top-k-capped when ``k > 0``), hot
-    subset, per-tile min lower bounds, and per-query certificate residual —
-    one fused VMEM pass per group of query tiles. ``q`` is row/feature
-    padded to a ``_PREFIX_GROUP * tile_q`` multiple, ``binit`` the
-    per-query radii (negative = frozen). Returns ``(member, hot, lb_tile,
-    resid)``; the first three (nqt, nc), resid (Nq_pad, 1)."""
+    subset, per-tile min lower bounds, per-query certificate residual,
+    and per-subgroup membership bit masks — one fused VMEM pass per group
+    of query tiles. ``q`` is row/feature padded to a
+    ``_PREFIX_GROUP * tile_q`` multiple, ``binit`` the per-query radii
+    (negative = frozen). Returns ``(member, hot, lb_tile, resid, mask)``;
+    member/hot (nqt, nc) bool, lb_tile (nqt, nc) f32, resid (Nq_pad, 1),
+    mask (nqt, nc) int32 subgroup bits."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -472,7 +522,7 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
     # Boxes transposed feature-major so blocks ride the 128-lane axis.
     bmin_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_min.T)
     bmax_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_max.T)
-    member, hot, lb_tile, resid = pl.pallas_call(
+    member, hot, lb_tile, resid, mask = pl.pallas_call(
         _make_prefix_kernel(d, nc, tile_q, k),
         grid=(nqt // _PREFIX_GROUP,),
         in_specs=[
@@ -486,19 +536,21 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
             pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
             pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
             pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
             jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
             jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
             jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((nqt, nc), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(q, binit[:, None], bmin_t, bmax_t)
-    return member > 0.0, hot > 0.0, lb_tile, resid
+    return member > 0.0, hot > 0.0, lb_tile, resid, mask
 
 
 @functools.partial(
@@ -534,16 +586,17 @@ def _kd_bitmap_search(
         (0, q.shape[0] - nq),
         constant_values=-1.0,
     )
-    member, hot, lb_tile, resid = _radius_prefix(
+    member, hot, lb_tile, resid, submask = _radius_prefix(
         q, binit, index, tile_q=tile_q, k=k, interpret=interpret
     )
     # No XLA-side lb ordering: the list construction (two 512-lane
     # scatters + cummin per tile) cost ~half the matcher
     # (scripts/warm_stage_log.txt). The bitmap kernel compacts hot/cold
-    # memberships on its scalar core and prunes the cold tail with the
-    # frozen bound read after the hot phase.
+    # memberships on its scalar core, gates the distance compute per
+    # (subgroup, block) on the prefix's membership bits, and prunes the
+    # cold tail with per-subgroup frozen bounds read after the hot phase.
     dist, idx = knn._run_bitmap_kernel(
-        q, binit, hot, member & ~hot, lb_tile, index.pages,
+        q, binit, hot, member & ~hot, lb_tile, submask, index.pages,
         float(max_distance),
         tile_q=tile_q, tile_t=index.pages.shape[2], chunk=chunk,
         n_features=d, interpret=interpret,

@@ -818,9 +818,18 @@ def _run_visited_kernel(
 _LBQ_BITS = 20
 
 
+# Compute-gating subgroup width of the bitmap kernel: queries are gated
+# per SG_WIDTH-row subgroup so each distance pass touches only the
+# (subgroup, block) pairs some subgroup query actually needs — the
+# tile-level union costs 5-7x the subgroup information floor at bench
+# shapes (scripts/subgroup_union_log.txt). 8 = the f32 sublane count, so
+# a subgroup's query rows are one native (8, lane) slice.
+SG_WIDTH = 8
+
+
 def _make_bitmap_kernel(
     tile_t: int, nc_real: int, nqt: int, chunk: int, n_features: int,
-    quant_scale: float,
+    quant_scale: float, tile_q: int,
 ):
     """Bitmap-walk variant of the visited-list kernel for the warm-start
     radius search. Instead of consuming lists pre-sorted on the XLA side —
@@ -840,30 +849,48 @@ def _make_bitmap_kernel(
     would fall back to an explicit per-pair loop over the HBM operands.
 
     Phase discipline (same as :func:`_make_visited_kernel`): hot chunks
-    run unconditionally with double-buffered DMA and zero scalar-vector
-    syncs; ONE bound read (wb = max running best — near-final once every
-    query has seen its own block); cold chunks gate on "any in-count block
-    with lb <= wb" with the FROZEN, quantized-UP wb — exact because the
-    per-tile lb is a min over the tile's queries and quantized DOWN, and
-    deterministic between a chunk's DMA start and wait. Reads of
-    compacted slots past the true count (a partial last chunk) clamp to
-    the last real slot — the duplicated block's page re-read is a no-op
-    under the running min, and uninitialized SMEM is never used as a DMA
-    source id; the cold predicate guards count membership per slot, so
-    stale lb slots are never trusted."""
+    run unconditionally with double-buffered DMA; ONE bound read (wb = max
+    running best — near-final once every query has seen its own block);
+    cold chunks gate their DMA on "any in-count block with lb <= wb" with
+    the FROZEN, quantized-UP wb — exact because the per-tile lb is a min
+    over the tile's queries and quantized DOWN, and deterministic between
+    a chunk's DMA start and wait. Reads of compacted slots past the true
+    count (a partial last chunk) clamp to the last real slot — the
+    duplicated block's page re-read is a no-op under the running min, and
+    uninitialized SMEM is never used as a DMA source id; the cold
+    predicate guards count membership per slot, so stale lb slots are
+    never trusted.
+
+    Compute gating (the round-3 rewrite): the distance pass runs per
+    (SG_WIDTH-row subgroup, block), gated on the prefix kernel's
+    per-subgroup membership bits (code row 1) — a block is evaluated only
+    against the subgroups whose queries have it in their hit set, cutting
+    the VPU work ~5-7x vs the tile-level union
+    (scripts/subgroup_union_log.txt). Exactness is untouched: gating only
+    removes (query, block) pairs OUTSIDE the query's membership set, which
+    the tile-level scheme evaluated as harmless extras. Cold computes are
+    additionally pruned per subgroup with frozen per-subgroup bounds
+    (wb16): skipping block B for subgroup s when quantized-down
+    lb_tile(B) > quantized-up max-running-best(s) is exact because
+    lb_tile <= lb(q, B) for every tile query q."""
+
+    n_sub = tile_q // SG_WIDTH
 
     def kernel(
         range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
-        code_ref,         # (B*nqt, 8, nc) int32 in HBM: packed codes
+        code_ref,         # (B*nqt, 8, nc) int32 in HBM: row 0 = tag|lbq
+                          # codes, row 1 = subgroup membership masks
         t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
         q_ref,            # (tile_q, 8) VMEM
         binit_ref,        # (tile_q, 1) VMEM per-query initial bound
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
-        vcode_ref,        # SMEM (8, nc) int32: 8-row-replicated code landing
-        vids_ref,         # SMEM (8, nc) int32: row 0/1 = compacted hot/cold
-                          # ids, row 2 = compacted cold quantized lbs
-        wb_ref,           # SMEM (1,) f32: frozen phase-2 bound
+        vcode_ref,        # SMEM (8, nc) int32: code/mask rows landing
+        vids_ref,         # SMEM (8, nc) int32: rows 0/1 = compacted
+                          # hot/cold ids, 2 = cold quantized lbs,
+                          # 3/4 = hot/cold subgroup masks
+        wb_ref,           # SMEM (1,) f32: frozen phase-2 bound (tile max)
+        wb16_ref,         # SMEM (n_sub,) f32: frozen per-subgroup bounds
         tbuf_ref,         # VMEM scratch (2, 8, chunk*tile_t)
         copy_sems,        # DMA semaphores (2, chunk)
         code_sem,
@@ -887,11 +914,14 @@ def _make_bitmap_kernel(
         def walk(j, carry):
             ch, cc = carry
             m = vcode_ref[0, j]
+            msk = vcode_ref[1, j]
             tag = m & 3
             jc = jnp.minimum(j, nc_real - 1)
             vids_ref[0, ch] = jc
             vids_ref[1, cc] = jc
             vids_ref[2, cc] = m >> 2
+            vids_ref[3, ch] = msk
+            vids_ref[4, cc] = msk
             return ch + (tag == 1), cc + (tag == 2)
 
         cnt_h, cnt_c = jax.lax.fori_loop(
@@ -900,63 +930,80 @@ def _make_bitmap_kernel(
         ch_h = (cnt_h + chunk - 1) // chunk
         ch_c = (cnt_c + chunk - 1) // chunk
 
-        def ids_row(k):
-            # Unified chunk index: hot chunks [0, ch_h), cold after.
-            return jnp.where(k < ch_h, 0, 1)
-
-        def slot_of(k):
-            return jnp.where(k < ch_h, k * chunk, (k - ch_h) * chunk)
-
-        def slot_clamped(k, j):
+        def slot_clamped(k, j, cold):
             # A partial last chunk over-reads slots past the true count;
             # those were never written THIS grid step (and on the first
             # step never at all — SMEM scratch is uninitialized), so clamp
             # to the last real slot: the duplicated block's page is
             # re-read, which the running min makes a no-op.
-            cnt = jnp.where(k < ch_h, cnt_h, cnt_c)
-            return jnp.minimum(slot_of(k) + j, cnt - 1)
+            if cold:
+                return jnp.minimum((k - ch_h) * chunk + j, cnt_c - 1)
+            return jnp.minimum(k * chunk + j, cnt_h - 1)
 
-        def tile_dma(slot, k, j):
-            tile_id = vids_ref[ids_row(k), slot_clamped(k, j)]
+        def tile_dma(slot, k, j, cold):
+            tile_id = vids_ref[1 if cold else 0, slot_clamped(k, j, cold)]
             return pltpu.make_async_copy(
                 t_ref.at[page_base + tile_id],
                 tbuf_ref.at[slot, :, pl.ds(j * tile_t, tile_t)],
                 copy_sems.at[slot, j],
             )
 
-        def start_chunk(slot, k):
+        def start_chunk(slot, k, cold):
             for j in range(chunk):
-                tile_dma(slot, k, j).start()
+                tile_dma(slot, k, j, cold).start()
 
-        def wait_chunk(slot, k):
+        def wait_chunk(slot, k, cold):
             for j in range(chunk):
-                tile_dma(slot, k, j).wait()
+                tile_dma(slot, k, j, cold).wait()
 
-        def _compute(slot, k):
-            t = tbuf_ref[slot]                      # (8, chunk*tile_t)
-            d2 = (q_ref[:, 0:1] - t[0:1, :]) ** 2
-            for c in range(1, n_features):
-                d2 = d2 + (q_ref[:, c:c + 1] - t[c:c + 1, :]) ** 2
-            local_min = jnp.min(d2, axis=1, keepdims=True)
-            gpos = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            sub = jax.lax.rem(gpos, tile_t)
-            seg = gpos // tile_t
-            base = jnp.full_like(gpos, vids_ref[ids_row(k), slot_clamped(k, 0)])
-            for j in range(1, chunk):
-                base = jnp.where(
-                    seg == j, vids_ref[ids_row(k), slot_clamped(k, j)], base
-                )
-            # PAIR-LOCAL sorted page index (callers map via their own
-            # page_orig).
-            local_arg = (base * tile_t + sub).reshape(-1, 1)
-            better = local_min < dist_ref[:]
-            idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
-            dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+        def _compute(slot, k, cold):
+            ids_row = 1 if cold else 0
+            if cold:
+                # Frozen per-subgroup quantized-up bounds (written once,
+                # before the cold phase).
+                wbqs = [
+                    (wb16_ref[s] * quant_scale).astype(jnp.int32) + 1
+                    for s in range(n_sub)
+                ]
+            for j in range(chunk):
+                sl = slot_clamped(k, j, cold)
+                msk = vids_ref[ids_row + 3, sl]
+                base = vids_ref[ids_row, sl]
 
-        # --- phase 1: hot chunks, unconditional, sync-free ---------------
+                @pl.when(msk != 0)
+                def _(j=j, sl=sl, msk=msk, base=base):
+                    t = tbuf_ref[slot, :, pl.ds(j * tile_t, tile_t)]
+                    lbq = vids_ref[2, sl]
+                    for s in range(n_sub):
+                        need = ((msk >> s) & 1) == 1
+                        if cold:
+                            need = need & (lbq <= wbqs[s])
+
+                        @pl.when(need)
+                        def _(s=s):
+                            rows = slice(s * SG_WIDTH, (s + 1) * SG_WIDTH)
+                            d2 = (q_ref[rows, 0:1] - t[0:1, :]) ** 2
+                            for c in range(1, n_features):
+                                d2 = d2 + (
+                                    q_ref[rows, c:c + 1] - t[c:c + 1, :]
+                                ) ** 2
+                            local_min = jnp.min(d2, axis=1, keepdims=True)
+                            sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                            # PAIR-LOCAL sorted page index (callers map via
+                            # their own page_orig).
+                            local_arg = (base * tile_t + sub).reshape(-1, 1)
+                            better = local_min < dist_ref[rows]
+                            idx_ref[rows] = jnp.where(
+                                better, local_arg, idx_ref[rows]
+                            )
+                            dist_ref[rows] = jnp.where(
+                                better, local_min, dist_ref[rows]
+                            )
+
+        # --- phase 1: hot chunks, unconditional DMA ----------------------
         @pl.when(ch_h > 0)
         def _():
-            start_chunk(0, 0)
+            start_chunk(0, 0, False)
 
             def body1(k, _):
                 slot = jax.lax.rem(k, 2)
@@ -964,10 +1011,10 @@ def _make_bitmap_kernel(
 
                 @pl.when(k + 1 < ch_h)
                 def _():
-                    start_chunk(next_slot, k + 1)
+                    start_chunk(next_slot, k + 1, False)
 
-                wait_chunk(slot, k)
-                _compute(slot, k)
+                wait_chunk(slot, k, False)
+                _compute(slot, k, False)
                 return 0
 
             jax.lax.fori_loop(0, ch_h, body1, 0)
@@ -975,6 +1022,10 @@ def _make_bitmap_kernel(
         # --- one bound read, then the frozen-bound cold tail -------------
         @pl.when(ch_c > 0)
         def _():
+            for s in range(n_sub):
+                wb16_ref[s] = jnp.max(
+                    dist_ref[s * SG_WIDTH:(s + 1) * SG_WIDTH]
+                )
             wb_ref[0] = jnp.max(dist_ref[:])
 
             def active(k):
@@ -996,7 +1047,7 @@ def _make_bitmap_kernel(
 
             @pl.when(active(ch_h))
             def _():
-                start_chunk(0, ch_h)
+                start_chunk(0, ch_h, True)
 
             def body2(k, _):
                 slot = jax.lax.rem(k - ch_h, 2)
@@ -1004,12 +1055,12 @@ def _make_bitmap_kernel(
 
                 @pl.when((k + 1 < ch_h + ch_c) & active(k + 1))
                 def _():
-                    start_chunk(next_slot, k + 1)
+                    start_chunk(next_slot, k + 1, True)
 
                 @pl.when(active(k))
                 def _():
-                    wait_chunk(slot, k)
-                    _compute(slot, k)
+                    wait_chunk(slot, k, True)
+                    _compute(slot, k, True)
                 return 0
 
             jax.lax.fori_loop(ch_h, ch_h + ch_c, body2, 0)
@@ -1018,13 +1069,14 @@ def _make_bitmap_kernel(
 
 
 def _run_bitmap_kernel_flat(
-    q, binit, hot, cold, lb_tile, pages, max_distance,
+    q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, chunk, n_features, interpret,
 ):
     """Flat batched bitmap-kernel invocation.
 
     ``q`` (B, Nq_pad, F), ``binit`` (B, Nq_pad), ``hot``/``cold``
-    (B, nqt, nc) bool, ``lb_tile`` (B, nqt, nc) f32, ``pages``
+    (B, nqt, nc) bool, ``lb_tile`` (B, nqt, nc) f32, ``submask``
+    (B, nqt, nc) int32 per-subgroup membership bits, ``pages``
     (B, nc, 8, tile_t); ``max_distance`` is the STATIC squared threshold
     anchoring the lb quantization. Returns ``(dist, idx)`` of shape
     (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices.
@@ -1032,9 +1084,10 @@ def _run_bitmap_kernel_flat(
     b, nq_pad, f = q.shape
     nq_tiles = nq_pad // tile_q
     nc = pages.shape[1]
-    # 8-row replication for tiling-legal HBM slices; the lane dim must be
-    # a 128-multiple (kd block counts are powers of two >= 128 at
-    # production scale; pad for small clouds).
+    # 8-row pages for tiling-legal HBM slices (row 0 = tag/lbq codes,
+    # row 1 = subgroup masks); the lane dim must be a 128-multiple (kd
+    # block counts are powers of two >= 128 at production scale; pad for
+    # small clouds).
     nc_pad = ((nc + 127) // 128) * 128
 
     bound_val = float(
@@ -1048,10 +1101,10 @@ def _run_bitmap_kernel_flat(
     code = jnp.where(
         hot, 1, jnp.where(cold, (lbq << 2) | 2, 0)
     ).astype(jnp.int32)
-    code = jnp.pad(code, ((0, 0), (0, 0), (0, nc_pad - nc))).reshape(
-        b * nq_tiles, 1, nc_pad
-    )
-    code8 = jnp.broadcast_to(code, (b * nq_tiles, 8, nc_pad))
+    rows = jnp.stack([code, submask.astype(jnp.int32)], axis=2)
+    code8 = jnp.pad(
+        rows, ((0, 0), (0, 0), (0, 6), (0, nc_pad - nc))
+    ).reshape(b * nq_tiles, 8, nc_pad)
 
     # Member span per tile (members cluster in tree order): the kernel's
     # walk runs [jmin, jend) only.
@@ -1064,7 +1117,7 @@ def _run_bitmap_kernel_flat(
     ).reshape(b * nq_tiles, 2)
 
     kernel = _make_bitmap_kernel(
-        tile_t, nc, nq_tiles, chunk, n_features, quant_scale
+        tile_t, nc, nq_tiles, chunk, n_features, quant_scale, tile_q
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1084,6 +1137,7 @@ def _run_bitmap_kernel_flat(
             pltpu.SMEM((8, nc_pad), jnp.int32),
             pltpu.SMEM((8, nc_pad), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((tile_q // SG_WIDTH,), jnp.float32),
             pltpu.VMEM((2, FEATURE_PAD, chunk * tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA(()),
@@ -1129,10 +1183,10 @@ def _bitmap_search_fn(
         n_features=n_features, interpret=interpret,
     )
 
-    def search(q, binit, hot, cold, lb_tile, pages):
+    def search(q, binit, hot, cold, lb_tile, submask, pages):
         dist, idx = _run_bitmap_kernel_flat(
             q[None], binit[None], hot[None], cold[None], lb_tile[None],
-            pages[None], max_distance, **kw
+            submask[None], pages[None], max_distance, **kw
         )
         return dist[0], idx[0]
 
@@ -1151,7 +1205,7 @@ def _bitmap_search_fn(
 
 
 def _run_bitmap_kernel(
-    q, binit, hot, cold, lb_tile, pages, max_distance,
+    q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, chunk, n_features, interpret,
 ):
     """Two-phase bitmap-walk search over one pair (batches via the custom
@@ -1159,7 +1213,7 @@ def _run_bitmap_kernel(
     fn = _bitmap_search_fn(
         tile_q, tile_t, chunk, n_features, float(max_distance), interpret
     )
-    return fn(q, binit, hot, cold, lb_tile, pages)
+    return fn(q, binit, hot, cold, lb_tile, submask, pages)
 
 
 def nn_search_pruned_xla(
