@@ -51,6 +51,111 @@ def synth_cloud(n, seed):
     return pts, nrm
 
 
+def synth_indoor_cloud(n, seed, sensor=(10.0, 7.5, 1.5), crop=None):
+    """Indoor-like multi-surface scene at ETH-Apartment scale: floor + two
+    walls + box 'furniture', range-dependent density falloff from a sensor
+    origin, surface noise. Far harder for box pruning / certificates /
+    overlap statistics than the single smooth sinusoid sheet: disjoint
+    surfaces at right angles, occluder-scale boxes, anisotropic density.
+
+    ``crop=(xlo, xhi)`` keeps only points whose x lies in the window
+    before resampling — the source/target pair cropped to shifted windows
+    yields the 20-40% non-overlap of real consecutive scans.
+    Returns ``(points, normals)`` with exactly ``n`` rows (weighted
+    resampling with replacement, so clouds share one capacity).
+    """
+    rng = np.random.default_rng(seed)
+    # (kind, params, area): floor plane, two walls, box tops/sides.
+    boxes = [
+        (4.0, 3.0, 1.2, 2.0, 0.8),     # x, y, w, d, h
+        (13.0, 9.0, 2.5, 1.0, 1.1),
+        (8.0, 11.0, 1.0, 1.0, 0.5),
+        (16.0, 4.0, 1.5, 2.2, 0.7),
+    ]
+    surfaces = [("floor", None, 20.0 * 15.0),
+                ("wallx", None, 20.0 * 3.0),
+                ("wally", None, 15.0 * 3.0)]
+    for b in boxes:
+        x, y, w, d, h = b
+        surfaces.append(("boxtop", b, w * d))
+        surfaces.append(("boxside", b, 2 * (w + d) * h))
+    areas = np.array([s[2] for s in surfaces])
+    m = 3 * n  # oversample, then density-weighted resample
+    counts = rng.multinomial(m, areas / areas.sum())
+    pts_l, nrm_l = [], []
+    for (kind, b, _), c in zip(surfaces, counts):
+        if c == 0:
+            continue
+        u, v = rng.random(c), rng.random(c)
+        if kind == "floor":
+            p = np.column_stack([20 * u, 15 * v, np.zeros(c)])
+            nm = np.tile([0.0, 0.0, 1.0], (c, 1))
+        elif kind == "wallx":
+            p = np.column_stack([20 * u, np.zeros(c), 3 * v])
+            nm = np.tile([0.0, 1.0, 0.0], (c, 1))
+        elif kind == "wally":
+            p = np.column_stack([np.zeros(c), 15 * u, 3 * v])
+            nm = np.tile([1.0, 0.0, 0.0], (c, 1))
+        elif kind == "boxtop":
+            x, y, w, d, h = b
+            p = np.column_stack([x + w * (u - 0.5), y + d * (v - 0.5),
+                                 np.full(c, h)])
+            nm = np.tile([0.0, 0.0, 1.0], (c, 1))
+        else:  # boxside: four vertical faces by perimeter position
+            x, y, w, d, h = b
+            t = u * 2 * (w + d)
+            px = np.where(t < w, x - w / 2 + t,
+                  np.where(t < w + d, x + w / 2,
+                  np.where(t < 2 * w + d, x + w / 2 - (t - w - d),
+                           x - w / 2)))
+            py = np.where(t < w, y - d / 2,
+                  np.where(t < w + d, y - d / 2 + (t - w),
+                  np.where(t < 2 * w + d, y + d / 2,
+                           y + d / 2 - (t - 2 * w - d))))
+            p = np.column_stack([px, py, h * v])
+            nx = np.where(t < w, 0.0, np.where(t < w + d, 1.0,
+                  np.where(t < 2 * w + d, 0.0, -1.0)))
+            ny = np.where(t < w, -1.0, np.where(t < w + d, 0.0,
+                  np.where(t < 2 * w + d, 1.0, 0.0)))
+            nm = np.column_stack([nx, ny, np.zeros(c)])
+        pts_l.append(p)
+        nrm_l.append(nm)
+    pts = np.concatenate(pts_l).astype(np.float32)
+    nrm = np.concatenate(nrm_l).astype(np.float32)
+    if crop is not None:
+        keep = (pts[:, 0] >= crop[0]) & (pts[:, 0] <= crop[1])
+        pts, nrm = pts[keep], nrm[keep]
+    # Scanner density falloff ~ 1/r^2 from the sensor origin.
+    r2 = np.sum((pts - np.asarray(sensor, np.float32)) ** 2, axis=1)
+    w8 = 1.0 / np.maximum(r2, 1.0)
+    rows = rng.choice(len(pts), size=n, replace=True, p=w8 / w8.sum())
+    pts, nrm = pts[rows], nrm[rows]
+    pts = pts + rng.normal(0, 0.008, pts.shape).astype(np.float32)
+    return pts.astype(np.float32), nrm
+
+
+def make_indoor_pairs():
+    """BATCH_PAIRS (source, target) pairs from the indoor scene: the
+    windows overlap ~70% in x (20-40% non-overlap like consecutive real
+    scans), sources independently sampled and rigidly perturbed."""
+    pairs = []
+    for i in range(BATCH_PAIRS):
+        tgt_pts, tgt_nrm = synth_indoor_cloud(
+            N_POINTS, 3 * i + 1, crop=(0.0, 16.0))
+        src_pts, src_nrm = synth_indoor_cloud(
+            N_POINTS, 3 * i + 2, crop=(4.5, 20.0))
+        ang = 0.04 + 0.008 * i
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0],
+             [0, 0, 1]], np.float32)
+        shift = np.array([0.4 - 0.06 * i, -0.25 + 0.04 * i, 0.05], np.float32)
+        src_pts = (src_pts @ R.T + shift).astype(np.float32)
+        src_nrm = (src_nrm @ R.T).astype(np.float32)
+        pairs.append((src_pts, src_nrm, tgt_pts, tgt_nrm))
+    return pairs
+
+
 def headline_config(selection=None, **overrides):
     """THE benchmarked configuration — the same `ICPConfig` the production
     ETH sweep runs (workloads/eth.py CLI with --metric 2 --linear), so the
@@ -196,6 +301,245 @@ def make_pairs():
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# TUM RGB-D sections: projective point-to-plane tracking (BASELINE.json
+# config 2, main.cpp:183-341) and multires + color ICP (config 4).
+# ---------------------------------------------------------------------------
+
+TUM_W, TUM_H = 640, 480
+TUM_FX = TUM_FY = 525.0                 # main.cpp:236 sensor calibration
+TUM_CX, TUM_CY = 319.5, 239.5
+TUM_ITERATIONS = 35                     # main.cpp:266
+TUM_MAX_DISTANCE = 0.1                  # main.cpp:261
+TUM_BATCH_FRAMES = 8                    # data-parallel frames per program
+TUM_SHIFT = 0.01                        # camera x-shift per frame (m)
+
+
+def synth_depth_frame(i):
+    """Indoor-like 640x480 depth frame: wavy surface + raised boxes
+    ('furniture' with sharp depth steps -> invalid normals at the edges,
+    like real TUM frames), viewed from a camera at x = -TUM_SHIFT*i.
+    Returns (depth f32 (H, W) in meters, color u8 (H, W, 4))."""
+    vv, uu = np.meshgrid(np.arange(TUM_H), np.arange(TUM_W), indexing="ij")
+    sx = TUM_SHIFT * i
+    z = np.full((TUM_H, TUM_W), 2.0)
+    boxes = [(-0.6, -0.3, 0.35, 0.25, 0.5), (0.4, 0.2, 0.3, 0.3, 0.35),
+             (0.1, -0.5, 0.2, 0.2, 0.25)]
+    for _ in range(8):  # fixed-point solve of the pixel-ray / surface hit
+        xw = (uu - TUM_CX) / TUM_FX * z - sx
+        yw = (vv - TUM_CY) / TUM_FY * z
+        base = 2.0 + 0.12 * np.sin(3.0 * xw) * np.cos(3.0 * yw)
+        for (bx, by, w, h, dz) in boxes:
+            inside = (np.abs(xw - bx) < w) & (np.abs(yw - by) < h)
+            base = np.where(inside, base - dz, base)
+        z = base
+    # Smooth structured colors from the world coordinates so the 6-dim
+    # color features carry real matching signal.
+    xw = (uu - TUM_CX) / TUM_FX * z - sx
+    yw = (vv - TUM_CY) / TUM_FY * z
+    color = np.stack([
+        (127 + 120 * np.sin(5.0 * xw)).astype(np.uint8),
+        (127 + 120 * np.cos(4.0 * yw)).astype(np.uint8),
+        (127 + 120 * np.sin(3.0 * (xw + yw))).astype(np.uint8),
+        np.full((TUM_H, TUM_W), 255, np.uint8),
+    ], axis=-1)
+    return z.astype(np.float32), color
+
+
+def prepare_tum_state():
+    """Shared host-side prep for both TUM sections: frame 0 as the
+    tracking target (full-size image-shaped for projective, compacted for
+    k-NN — room.py's shape contract, main.cpp:293-298) and
+    TUM_BATCH_FRAMES source frames (stride-8 compacted for projective,
+    full-size for multires)."""
+    from icp_variants_tpu.data import rgbd
+    from icp_variants_tpu.pipeline import icp
+
+    K = np.array([[TUM_FX, 0, TUM_CX], [0, TUM_FY, TUM_CY], [0, 0, 1]],
+                 np.float32)
+    eye = np.eye(4, dtype=np.float32)
+    cap = TUM_W * TUM_H
+
+    depth0, color0 = synth_depth_frame(0)
+    tgt_img = rgbd.cloud_from_depth(
+        depth0, color0, K, eye, keep_original_size=True, capacity=cap)
+    tgt_cmp = rgbd.cloud_from_depth(
+        depth0, color0, K, eye, keep_original_size=False, capacity=cap)
+
+    src_ds, src_full = [], []
+    for i in range(1, TUM_BATCH_FRAMES + 1):
+        depth, color = synth_depth_frame(i)
+        src_ds.append(rgbd.cloud_from_depth(
+            depth, color, K, eye, keep_original_size=False,
+            downsample_factor=8, capacity=cap // 8))
+        src_full.append(rgbd.cloud_from_depth(
+            depth, color, K, eye, keep_original_size=True, capacity=cap))
+    return {
+        "targets_img": icp.stack_clouds([tgt_img] * TUM_BATCH_FRAMES),
+        "targets_cmp": icp.stack_clouds([tgt_cmp] * TUM_BATCH_FRAMES),
+        "sources_ds": icp.stack_clouds(src_ds),
+        "sources_full": icp.stack_clouds(src_full),
+    }
+
+
+def _tum_base_config(**overrides):
+    from icp_variants_tpu.pipeline.config import (
+        ICPConfig, Metric, Minimizer,
+    )
+
+    cfg = ICPConfig(
+        metric=Metric.POINT_TO_PLANE,
+        minimizer=Minimizer.LINEAR,
+        n_iterations=TUM_ITERATIONS,
+        max_distance=TUM_MAX_DISTANCE,
+    ).with_camera(fx=TUM_FX, fy=TUM_FY, cx=TUM_CX, cy=TUM_CY,
+                  width=TUM_W, height=TUM_H)
+    return cfg.replace(**overrides)
+
+
+def _time_batch(run, n_runs=2):
+    """compile + warm dispatch + best-of-2 timed blocks (same discipline
+    as bench_tpu; device_get because block_until_ready is unreliable over
+    the tunneled backend)."""
+    run(0)
+    run(0)
+    best = float("inf")
+    for block in range(2):
+        t0 = time.perf_counter()
+        for s in range(n_runs):
+            run(block * n_runs + s + 1)
+        best = min(best, (time.perf_counter() - t0) / n_runs)
+    return best
+
+
+def bench_tum_projective(state):
+    """Projective point-to-plane RGB-D tracking at 640x480 (the
+    reconstructRoom configuration, main.cpp:183-341): TUM_BATCH_FRAMES
+    distinct frames tracked against frame 0 in one program. Returns
+    seconds/frame."""
+    import jax
+
+    from icp_variants_tpu.pipeline import icp
+    from icp_variants_tpu.pipeline.config import Matching
+
+    cfg = _tum_base_config(matching=Matching.PROJECTIVE)
+    sources, targets = state["sources_ds"], state["targets_img"]
+
+    def run(seed):
+        res = icp.run_icp_batch(
+            cfg, sources, targets, key=jax.random.PRNGKey(seed))
+        jax.device_get(res.pose)
+        return res
+
+    return _time_batch(run) / TUM_BATCH_FRAMES
+
+
+def bench_color_multires(state):
+    """Multi-resolution + color ICP (6-dim k-NN) on the TUM frames
+    (BASELINE.json config 4): full-size sources, stride pyramid, colors in
+    the matching metric. Returns seconds/frame."""
+    import jax
+
+    from icp_variants_tpu.pipeline import icp
+
+    cfg = _tum_base_config(color_icp=True, multi_resolution=True)
+    sources, targets = state["sources_full"], state["targets_cmp"]
+
+    def run(seed):
+        res = icp.run_icp_batch(
+            cfg, sources, targets, key=jax.random.PRNGKey(seed),
+            num_source_points=TUM_W * TUM_H)
+        jax.device_get(res.pose)
+        return res
+
+    return _time_batch(run) / TUM_BATCH_FRAMES
+
+
+def bench_cpu_proxy_projective(state):
+    """Reference-shaped projective proxy: per iteration, project every
+    stride-8 source point into the target image and scan the (2*12+1)^2
+    pixel window for the closest target point (the omp-parallel loop of
+    NearestNeighbor.h:368-407 — torch ops use all host cores), then a 6x6
+    normal-equation solve. One frame, seconds/frame."""
+    import torch
+
+    src = state["sources_ds"]
+    src_pts = np.asarray(src.points[0])
+    src_ok = np.asarray(src.valid[0])
+    q0 = torch.from_numpy(src_pts[src_ok])
+    tgt = state["targets_img"]
+    tpts = np.asarray(tgt.points[0])
+    tok = np.asarray(tgt.valid[0])
+    timg = torch.from_numpy(
+        np.where(tok[:, None], tpts, 1.0e9).astype(np.float32))
+    win = 12
+    du = torch.arange(-win, win + 1)
+    t0 = time.perf_counter()
+    for _ in range(TUM_ITERATIONS):
+        q = q0
+        u = torch.round(q[:, 0] / q[:, 2] * TUM_FX + TUM_CX).long()
+        v = torch.round(q[:, 1] / q[:, 2] * TUM_FY + TUM_CY).long()
+        inb = (u >= 0) & (u < TUM_W) & (v >= 0) & (v < TUM_H) & (q[:, 2] > 0)
+        base = (v.clamp(0, TUM_H - 1) * TUM_W + u.clamp(0, TUM_W - 1))
+        best = torch.full((q.shape[0],), 1.0e18)
+        arg = torch.zeros(q.shape[0], dtype=torch.long)
+        for dv in range(-win, win + 1):
+            rows = (base + dv * TUM_W)[:, None] + du[None, :]
+            cand = timg[rows.clamp(0, TUM_H * TUM_W - 1)]   # (n, 25, 3)
+            d2 = ((cand - q[:, None, :]) ** 2).sum(-1)
+            m, a = d2.min(dim=1)
+            better = m < best
+            best = torch.where(better, m, best)
+            arg = torch.where(better, rows.gather(1, a[:, None])[:, 0], arg)
+        ok = inb & (best <= TUM_MAX_DISTANCE)
+        matched = timg[arg.clamp(0, TUM_H * TUM_W - 1)]
+        A = torch.cat([torch.cross(q, matched, dim=1),
+                       torch.ones_like(q)], dim=1) * ok[:, None]
+        ata = (A.T @ A).numpy()
+        atb = (A.T @ ((matched - q).sum(1) * ok)).numpy()
+        np.linalg.solve(ata + 1e-6 * np.eye(6), atb)
+    return time.perf_counter() - t0
+
+
+def bench_cpu_proxy_color_multires(state):
+    """FLANN-analog proxy for config 4: one 6-dim cKDTree build over the
+    color features (NearestNeighbor.h:209-303) + per-iteration strided
+    multires queries (all cores) + 6x6 solves. One frame, seconds/frame."""
+    from scipy.spatial import cKDTree
+
+    from icp_variants_tpu.core import cloud as cloud_lib
+
+    tgt = state["targets_cmp"]
+    tok = np.asarray(tgt.valid[0])
+    tfeat = np.concatenate([
+        np.asarray(tgt.points[0])[tok],
+        np.asarray(tgt.colors[0])[tok][:, :3] / 255.0,
+    ], axis=1)
+    src = state["sources_full"]
+    sok = np.asarray(src.valid[0])
+    sfeat = np.concatenate([
+        np.asarray(src.points[0]),
+        np.asarray(src.colors[0])[:, :3] / 255.0,
+    ], axis=1)
+    strides = np.asarray(cloud_lib.multires_stride_schedule(
+        TUM_W * TUM_H, TUM_ITERATIONS, True, 100))
+    t0 = time.perf_counter()
+    tree = cKDTree(tfeat)
+    for stride in strides:
+        rows = np.arange(0, TUM_W * TUM_H, int(stride))
+        q = sfeat[rows][sok[rows]]
+        d, idx = tree.query(q, k=1, workers=-1)
+        matched = tfeat[idx, :3]
+        ok = d * d <= TUM_MAX_DISTANCE
+        qp = q[:, :3]
+        A = np.concatenate([np.cross(qp, matched), np.ones_like(qp)], axis=1)
+        A *= ok[:, None]
+        ata = A.T @ A
+        atb = A.T @ (np.sum(matched - qp, axis=1) * ok)
+        np.linalg.solve(ata + 1e-6 * np.eye(6), atb)
+    return time.perf_counter() - t0
+
+
 def wait_for_backend(budget_s: float) -> bool:
     """The tunneled TPU backend periodically dies (relay ports closed) and a
     dead backend HANGS jax init forever — probe it in a subprocess under a
@@ -252,6 +596,9 @@ def main():
 
     from icp_variants_tpu.pipeline.config import Selection
 
+    sections = os.environ.get(
+        "BENCH_SECTIONS", "eth,eth_indoor,tum_projective,color_multires"
+    ).split(",")
     pairs = make_pairs()
 
     # HEADLINE = the reference-exact Bernoulli RANDOM mode under the
@@ -282,21 +629,47 @@ def main():
 
     pairs_per_sec = 1.0 / dt_tpu
     baseline_pairs_per_sec = 1.0 / dt_cpu
-    print(
-        json.dumps(
-            {
-                "metric": "eth_scale_scan_pairs_per_sec_chip",
-                "value": round(pairs_per_sec, 4),
-                "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
-                "reference-exact Bernoulli selection)",
-                "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
-                "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
-                "warm_matcher_pairs_per_sec": round(1.0 / dt_warm, 4),
-                "cold_matcher_pairs_per_sec": round(1.0 / dt_cold, 4),
-                "distinct_pairs_per_batch": BATCH_PAIRS,
-            }
+    out = {
+        "metric": "eth_scale_scan_pairs_per_sec_chip",
+        "value": round(pairs_per_sec, 4),
+        "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
+        "reference-exact Bernoulli selection)",
+        "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+        "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
+        "warm_matcher_pairs_per_sec": round(1.0 / dt_warm, 4),
+        "cold_matcher_pairs_per_sec": round(1.0 / dt_cold, 4),
+        "distinct_pairs_per_batch": BATCH_PAIRS,
+    }
+
+    if "eth_indoor" in sections:
+        # The HARD synthetic family (multi-surface indoor scene, density
+        # falloff, 20-40% non-overlap) under the exact headline config —
+        # same capacities, so it reuses the compiled executable.
+        ipairs = make_indoor_pairs()
+        istate = prepare_host_state(ipairs)
+        dt_iw = bench_tpu(ipairs, Selection.RANDOM, state=istate)
+        dt_ic = bench_tpu(
+            ipairs, Selection.RANDOM, kd_warm_start=False, state=istate
         )
-    )
+        isrc, _, itgt, _ = ipairs[0]
+        dt_icpu = min(bench_cpu_proxy(isrc, itgt) for _ in range(2))
+        out["eth_indoor_pairs_per_sec"] = round(1.0 / min(dt_iw, dt_ic), 4)
+        out["eth_indoor_vs_baseline"] = round(dt_icpu / min(dt_iw, dt_ic), 3)
+
+    if "tum_projective" in sections or "color_multires" in sections:
+        tum_state = prepare_tum_state()
+        if "tum_projective" in sections:
+            dt_p = bench_tum_projective(tum_state)
+            dt_pc = bench_cpu_proxy_projective(tum_state)
+            out["tum_projective_frames_per_sec"] = round(1.0 / dt_p, 4)
+            out["tum_projective_vs_baseline"] = round(dt_pc / dt_p, 3)
+        if "color_multires" in sections:
+            dt_m = bench_color_multires(tum_state)
+            dt_mc = bench_cpu_proxy_color_multires(tum_state)
+            out["color_multires_frames_per_sec"] = round(1.0 / dt_m, 4)
+            out["color_multires_vs_baseline"] = round(dt_mc / dt_m, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

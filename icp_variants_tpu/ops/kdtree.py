@@ -555,7 +555,10 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_distance", "k", "tile_q", "chunk", "interpret"),
+    static_argnames=(
+        "max_distance", "k", "tile_q", "chunk", "interpret", "impl",
+        "gate_width",
+    ),
 )
 def _kd_bitmap_search(
     queries: jax.Array,
@@ -567,10 +570,15 @@ def _kd_bitmap_search(
     tile_q: int = 128,
     chunk: int = 4,
     interpret: bool = False,
+    impl: str = "bitmap",
+    gate_width: int | None = None,
 ):
     """Shared core of the bitmap-kernel searches: prefix (membership =
     per-query top-k by lb, intersected with the radius; k=0 = radius-
     complete) -> two-phase bitmap kernel -> original-row mapping.
+    ``impl`` picks the search kernel: "bitmap" DMA-streams member blocks
+    per tile, "resident" holds the pair's whole page table in VMEM
+    (knn._make_resident_kernel; requires ``knn.resident_fits``).
     Returns ``(orig_idx, d2, resid)``."""
     from icp_variants_tpu.ops import knn
 
@@ -595,12 +603,20 @@ def _kd_bitmap_search(
     # memberships on its scalar core, gates the distance compute per
     # (subgroup, block) on the prefix's membership bits, and prunes the
     # cold tail with per-subgroup frozen bounds read after the hot phase.
-    dist, idx = knn._run_bitmap_kernel(
-        q, binit, hot, member & ~hot, lb_tile, submask, index.pages,
-        float(max_distance),
-        tile_q=tile_q, tile_t=index.pages.shape[2], chunk=chunk,
-        n_features=d, interpret=interpret,
-    )
+    if impl == "resident":
+        dist, idx = knn._run_resident_kernel(
+            q, binit, hot, member & ~hot, lb_tile, submask, index.pages,
+            float(max_distance),
+            tile_q=tile_q, tile_t=index.pages.shape[2],
+            n_features=d, interpret=interpret, gate_width=gate_width,
+        )
+    else:
+        dist, idx = knn._run_bitmap_kernel(
+            q, binit, hot, member & ~hot, lb_tile, submask, index.pages,
+            float(max_distance),
+            tile_q=tile_q, tile_t=index.pages.shape[2], chunk=chunk,
+            n_features=d, interpret=interpret,
+        )
     sorted_idx = idx[:nq, 0]
     d2 = dist[:nq, 0]
     orig = index.page_orig[
@@ -642,6 +658,40 @@ def nn_search_kd_radius(
         k=0, tile_q=tile_q, chunk=chunk, interpret=interpret,
     )
     return idx, d2
+
+
+def nn_search_kd_resident(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    *,
+    k: int | None = None,
+    tile_q: int | None = None,
+    gate_width: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact-unless-flagged 1-NN via the resident-pages kernel — the cold
+    (cache-less) production matcher for pairs whose page table fits VMEM
+    (``knn.resident_fits``).
+
+    Membership is per-query top-k by box lower bound (the union path's
+    ranking, computed in the prefix kernel instead of XLA), the search
+    runs entirely out of VMEM with per-subgroup compute gating. Same
+    ``(orig_idx, dist2, fail)`` contract and certificate argument as
+    :func:`nn_search_kd_union` — failed queries re-search via the
+    caller's fallback.
+    """
+    nc = index.pages.shape[0]
+    k = min(K_DEFAULT if k is None else k, nc)
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    radius = jnp.full((queries.shape[0],), bound_val, jnp.float32)
+    idx, d2, resid = _kd_bitmap_search(
+        queries, index, float(max_distance), radius,
+        k=k, tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
+        interpret=interpret, impl="resident", gate_width=gate_width,
+    )
+    fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
+    return idx, d2, fail
 
 
 def nn_search_kd_warm(

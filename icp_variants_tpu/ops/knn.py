@@ -1216,6 +1216,352 @@ def _run_bitmap_kernel(
     return fn(q, binit, hot, cold, lb_tile, submask, pages)
 
 
+# ---------------------------------------------------------------------------
+# Resident-pages kernel: the whole target page table lives in VMEM
+# ---------------------------------------------------------------------------
+
+# The kd page table of an ETH-scale pair is small: capacity x 8 rows x 4 B
+# ~= 32 B/point ~= 12.6 MB at 365k points — it FITS in one core's ~16 MB
+# VMEM. The bitmap/visited kernels stream member blocks from HBM with one
+# DMA per (tile, block) visit (~1.9k issues/pair/iter at bench shapes),
+# which is what bounds them (~5% of HBM peak moved; subgroup compute
+# gating bought only ~3% end-to-end because the DMA issue rate, not the
+# VPU, was the wall). The resident kernel instead copies the pair's WHOLE
+# page table into a persistent VMEM scratch ONCE per kernel invocation
+# (one contiguous ~12.6 MB DMA riding near peak bandwidth, amortized over
+# all query tiles) and runs the gated distance passes straight out of
+# VMEM — zero per-block DMA, so the per-subgroup membership gating
+# finally pays.
+RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
+# Gating granularity (query rows per conditional region) of the resident
+# kernel; hardware-swept in scripts/resident_bench_log.txt.
+RESIDENT_GATE_WIDTH = 8
+
+
+def resident_fits(nc: int, tile_t: int) -> bool:
+    """Whether one pair's page table fits the resident kernel's VMEM
+    scratch budget (leaves ~3 MB of a v5e core's ~16 MB for the query
+    tiles, outputs and code landing)."""
+    return nc * 8 * tile_t * 4 <= RESIDENT_VMEM_BUDGET
+
+
+def _make_resident_kernel(
+    tile_t: int, nc_real: int, nqt: int, n_features: int,
+    quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
+):
+    """Resident-pages variant of the bitmap kernel (same code/mask inputs,
+    same result contract): grid = (pair, query tile); the first tile of
+    each pair bulk-copies the pair's full page table into a VMEM scratch
+    that persists across the pair's tiles. The member walk and the
+    per-(subgroup, block) gated distance passes are unchanged except that
+    candidates are sliced from VMEM instead of DMA-chunked from HBM —
+    hot/cold phase discipline survives only as the per-subgroup
+    frozen-bound prune (wb16) on cold blocks, since there is no DMA left
+    to gate.
+
+    ``gate_width`` (a multiple of SG_WIDTH up to tile_q) sets the gating
+    granularity: each conditional region covers ``gate_width`` query rows,
+    predicated on the OR of its SG_WIDTH-wide membership bits. Fine gates
+    skip more VPU work but pay a scalar-branch overhead per
+    (gate, block) — the width trades the two (hardware-swept in
+    scripts/resident_bench_log.txt).
+
+    ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = skip
+    the distance compute (copy + walk only), 2 = also skip the walk
+    (copy + code DMA only). Probe results are NOT valid matches."""
+
+    n_gate = tile_q // gate_width
+    r = gate_width // SG_WIDTH          # SG bits per gate
+    r_mask = (1 << r) - 1
+
+    def kernel(
+        range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
+        code_ref,         # (B*nqt, 8, nc_pad) int32 HBM: row 0 = tag|lbq
+                          # codes, row 1 = subgroup membership masks
+        t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
+        q_ref,            # (tile_q, FEATURE_PAD) VMEM
+        binit_ref,        # (tile_q, 1) VMEM per-query initial bound
+        dist_ref,         # out (tile_q, 1)
+        idx_ref,          # out (tile_q, 1)
+        vcode_ref,        # SMEM (8, nc_pad) int32: code/mask rows landing
+        vids_ref,         # SMEM (8, nc_pad) int32: rows 0/1 = compacted
+                          # hot/cold ids, 2 = cold quantized lbs,
+                          # 3/4 = hot/cold subgroup masks
+        wb16_ref,         # SMEM (n_gate,) f32: frozen per-gate bounds
+        vpages_ref,       # VMEM (nc_real, 8, tile_t): THE resident pages
+        code_sem,
+        page_sem,
+    ):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        p = b * nqt + i
+
+        page_dma = pltpu.make_async_copy(
+            t_ref.at[pl.ds(b * nc_real, nc_real)], vpages_ref, page_sem
+        )
+
+        # New pair: start the bulk page copy first so it overlaps the code
+        # DMA + scalar walk below (the scratch persists across this pair's
+        # remaining tiles).
+        @pl.when(i == 0)
+        def _():
+            page_dma.start()
+
+        code_dma = pltpu.make_async_copy(code_ref.at[p], vcode_ref, code_sem)
+        code_dma.start()
+
+        dist_ref[:] = binit_ref[:]
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+        code_dma.wait()
+
+        # Fused scalar compaction walk over the member span (identical to
+        # the bitmap kernel's): unconditional stores, next member
+        # overwrites a non-member's slot.
+        def walk(j, carry):
+            ch, cc = carry
+            m = vcode_ref[0, j]
+            msk = vcode_ref[1, j]
+            tag = m & 3
+            jc = jnp.minimum(j, nc_real - 1)
+            vids_ref[0, ch] = jc
+            vids_ref[1, cc] = jc
+            vids_ref[2, cc] = m >> 2
+            vids_ref[3, ch] = msk
+            vids_ref[4, cc] = msk
+            return ch + (tag == 1), cc + (tag == 2)
+
+        if probe >= 2:
+            cnt_h, cnt_c = 0, 0
+        else:
+            cnt_h, cnt_c = jax.lax.fori_loop(
+                range_ref[p, 0], range_ref[p, 1], walk, (0, 0)
+            )
+        if probe >= 1:
+            cnt_h, cnt_c = 0, 0
+
+        @pl.when(i == 0)
+        def _():
+            page_dma.wait()
+
+        def _sub_compute(block_id, msk, need_extra=None):
+            """Gated per-gate-group distance pass against VMEM block rows."""
+            t = vpages_ref[block_id]                    # (8, tile_t)
+            for s in range(n_gate):
+                need = ((msk >> (s * r)) & r_mask) != 0
+                if need_extra is not None:
+                    need = need & need_extra(s)
+
+                @pl.when(need)
+                def _(s=s):
+                    rows = slice(s * gate_width, (s + 1) * gate_width)
+                    d2 = (q_ref[rows, 0:1] - t[0:1, :]) ** 2
+                    for c in range(1, n_features):
+                        d2 = d2 + (q_ref[rows, c:c + 1] - t[c:c + 1, :]) ** 2
+                    local_min = jnp.min(d2, axis=1, keepdims=True)
+                    sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                    # PAIR-LOCAL sorted page index (callers map via their
+                    # own page_orig).
+                    local_arg = (block_id * tile_t + sub).reshape(-1, 1)
+                    better = local_min < dist_ref[rows]
+                    idx_ref[rows] = jnp.where(better, local_arg, idx_ref[rows])
+                    dist_ref[rows] = jnp.where(
+                        better, local_min, dist_ref[rows]
+                    )
+
+        # --- phase 1: hot blocks (contain a live query) -------------------
+        def body1(k, _):
+            msk = vids_ref[3, k]
+
+            @pl.when(msk != 0)
+            def _():
+                _sub_compute(vids_ref[0, k], msk)
+
+            return 0
+
+        jax.lax.fori_loop(0, cnt_h, body1, 0)
+
+        # --- phase 2: cold blocks under frozen per-gate bounds ------------
+        @pl.when(cnt_c > 0)
+        def _():
+            for s in range(n_gate):
+                wb16_ref[s] = jnp.max(
+                    dist_ref[s * gate_width:(s + 1) * gate_width]
+                )
+            # Quantized-UP frozen bounds: skipping block B for gate group s
+            # when quantized-down lb_tile(B) > bound(s) is exact because
+            # lb_tile <= lb(q, B) for every tile query q.
+            wbqs = [
+                (wb16_ref[s] * quant_scale).astype(jnp.int32) + 1
+                for s in range(n_gate)
+            ]
+
+            def body2(k, _):
+                msk = vids_ref[4, k]
+
+                @pl.when(msk != 0)
+                def _():
+                    lbq = vids_ref[2, k]
+                    _sub_compute(
+                        vids_ref[1, k], msk, lambda s: lbq <= wbqs[s]
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, cnt_c, body2, 0)
+
+    return kernel
+
+
+def _run_resident_kernel_flat(
+    q, binit, hot, cold, lb_tile, submask, pages, max_distance,
+    *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
+):
+    """Flat batched resident-kernel invocation (same operand preparation
+    as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
+    tile triggers the bulk page copy). Returns ``(dist, idx)`` of shape
+    (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices."""
+    b, nq_pad, f = q.shape
+    nq_tiles = nq_pad // tile_q
+    nc = pages.shape[1]
+    nc_pad = ((nc + 127) // 128) * 128
+
+    bound_val = float(
+        np.float32(max_distance) * np.float32(1.0 + 1e-6) + np.float32(1e-30)
+    )
+    quant_scale = float((1 << _LBQ_BITS) / bound_val)
+    lbq = jnp.clip(
+        (lb_tile * jnp.float32(quant_scale)).astype(jnp.int32),
+        0, (1 << (_LBQ_BITS + 1)) - 1,
+    )
+    code = jnp.where(
+        hot, 1, jnp.where(cold, (lbq << 2) | 2, 0)
+    ).astype(jnp.int32)
+    rows = jnp.stack([code, submask.astype(jnp.int32)], axis=2)
+    code8 = jnp.pad(
+        rows, ((0, 0), (0, 0), (0, 6), (0, nc_pad - nc))
+    ).reshape(b * nq_tiles, 8, nc_pad)
+
+    member = hot | cold
+    iota = jnp.arange(nc, dtype=jnp.int32)
+    jmin = jnp.min(jnp.where(member, iota, nc), axis=2)
+    jend = jnp.max(jnp.where(member, iota + 1, 0), axis=2)
+    ranges = jnp.stack(
+        [jmin, jnp.maximum(jend, jmin)], axis=-1
+    ).reshape(b * nq_tiles, 2)
+
+    kernel = _make_resident_kernel(
+        tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
+        probe,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nq_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # code bitmap
+            pl.BlockSpec(memory_space=pltpu.HBM),   # target pages
+            pl.BlockSpec(
+                (tile_q, FEATURE_PAD),
+                lambda b_, i, *_: (b_ * nq_tiles + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_q, 1),
+                lambda b_, i, *_: (b_ * nq_tiles + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_q, 1),
+                lambda b_, i, *_: (b_ * nq_tiles + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_q, 1),
+                lambda b_, i, *_: (b_ * nq_tiles + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((tile_q // gate_width,), jnp.float32),
+            pltpu.VMEM((nc, 8, tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * nq_pad, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        ranges,
+        code8,
+        pages.reshape(b * nc, 8, tile_t),
+        q.reshape(b * nq_pad, f),
+        binit.reshape(b * nq_pad, 1),
+    )
+    return dist.reshape(b, nq_pad, 1), idx.reshape(b, nq_pad, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _resident_search_fn(
+    tile_q: int, tile_t: int, n_features: int,
+    max_distance: float, gate_width: int, interpret: bool,
+):
+    """Build (and cache) the custom-vmap resident searcher (same batching
+    design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
+    grid in one launch)."""
+    kw = dict(
+        tile_q=tile_q, tile_t=tile_t, n_features=n_features,
+        gate_width=gate_width, interpret=interpret,
+    )
+
+    def search(q, binit, hot, cold, lb_tile, submask, pages):
+        dist, idx = _run_resident_kernel_flat(
+            q[None], binit[None], hot[None], cold[None], lb_tile[None],
+            submask[None], pages[None], max_distance, **kw
+        )
+        return dist[0], idx[0]
+
+    search_vm = jax.custom_batching.custom_vmap(search)
+
+    @search_vm.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        flat = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, b in zip(args, in_batched)
+        ]
+        out = _run_resident_kernel_flat(*flat, max_distance, **kw)
+        return out, (True, True)
+
+    return search_vm
+
+
+def _run_resident_kernel(
+    q, binit, hot, cold, lb_tile, submask, pages, max_distance,
+    *, tile_q, tile_t, n_features, interpret, gate_width=None,
+):
+    """Resident-pages search over one pair (batches via the custom vmap
+    rule: the pair axis joins the kernel grid)."""
+    fn = _resident_search_fn(
+        tile_q, tile_t, n_features, float(max_distance),
+        RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
+        interpret,
+    )
+    return fn(q, binit, hot, cold, lb_tile, submask, pages)
+
+
 def nn_search_pruned_xla(
     queries: jax.Array,
     index: TargetIndex,

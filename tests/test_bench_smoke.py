@@ -61,3 +61,47 @@ def test_cpu_proxy_runs():
     tgt, _ = bench.synth_cloud(2000, 1)
     dt = bench.bench_cpu_proxy(src, tgt)
     assert np.isfinite(dt) and dt > 0
+
+
+def test_tum_sections_run_at_toy_scale(monkeypatch):
+    """The TUM projective and color-multires bench sections (BASELINE.json
+    configs 2 and 4) must run end-to-end through run_icp_batch, and their
+    CPU proxies must produce finite times."""
+    monkeypatch.setattr(bench, "TUM_W", 64)
+    monkeypatch.setattr(bench, "TUM_H", 48)
+    monkeypatch.setattr(bench, "TUM_FX", 525.0 * 64 / 640)
+    monkeypatch.setattr(bench, "TUM_FY", 525.0 * 64 / 640)
+    monkeypatch.setattr(bench, "TUM_CX", (64 - 1) / 2)
+    monkeypatch.setattr(bench, "TUM_CY", (48 - 1) / 2)
+    monkeypatch.setattr(bench, "TUM_ITERATIONS", 3)
+    monkeypatch.setattr(bench, "TUM_BATCH_FRAMES", 2)
+    state = bench.prepare_tum_state()
+    # The depth solve must produce mostly-valid backprojections.
+    assert np.asarray(state["targets_img"].valid[0]).mean() > 0.8
+    for fn in (
+        bench.bench_tum_projective,
+        bench.bench_color_multires,
+        bench.bench_cpu_proxy_projective,
+        bench.bench_cpu_proxy_color_multires,
+    ):
+        dt = fn(state)
+        assert np.isfinite(dt) and dt > 0, fn.__name__
+
+
+def test_indoor_pairs_are_harder_but_valid(monkeypatch):
+    """The hard synthetic ETH family: finite unit normals, the intended
+    partial overlap, and multi-surface structure (distinct normal
+    directions)."""
+    monkeypatch.setattr(bench, "N_POINTS", 4000)
+    monkeypatch.setattr(bench, "BATCH_PAIRS", 2)
+    pairs = bench.make_indoor_pairs()
+    assert len(pairs) == 2
+    for sp, sn, tp, tn in pairs:
+        assert sp.shape == (4000, 3) and tp.shape == (4000, 3)
+        assert np.isfinite(sp).all() and np.isfinite(tn).all()
+        assert abs(np.linalg.norm(sn, axis=1) - 1).max() < 1e-3
+        # Multi-surface: at least 3 distinct dominant normal directions.
+        dirs = np.unique(np.round(np.abs(tn)).astype(int), axis=0)
+        assert len(dirs) >= 3
+        # Partial overlap: some target x-range has no source coverage.
+        assert tp[:, 0].min() < sp[:, 0].min() - 1.0

@@ -378,6 +378,68 @@ class TestUnionKernel:
         assert agree.all()
 
 
+class TestResidentKernel:
+    """nn_search_kd_resident (the resident-VMEM-pages cold matcher) in
+    interpret mode vs the scipy oracle, across gate widths and under the
+    custom-vmap batching rule."""
+
+    @pytest.mark.parametrize("gate_width", [8, 32, 128])
+    def test_resident_exact_vs_scipy(self, gate_width):
+        q, t = _clouds(n_t=20000, n_q=1200, seed=9)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        i, d2, fail = kdtree.nn_search_kd_resident(
+            jnp.asarray(q), idx, maxd, gate_width=gate_width, interpret=True)
+        i, d2, fail = np.asarray(i), np.asarray(d2), np.asarray(fail)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        d2ref = dref * dref
+        w = ~fail & (d2ref <= maxd)
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], d2ref[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        over = ~fail & (d2ref > maxd)
+        assert (i[over] == -1).all()
+        assert (d2[over] > maxd).all()
+        assert fail.mean() < 0.05
+
+    def test_resident_matches_union(self):
+        """Resident and union matchers agree wherever both certificates
+        close (same top-k membership, different kernels)."""
+        q, t = _clouds(n_t=12000, n_q=900, seed=13)
+        idx = kdtree.build_kd_index(t)
+        ir, d2r, fr = kdtree.nn_search_kd_resident(
+            jnp.asarray(q), idx, 4.0, interpret=True)
+        iu, d2u, fu = kdtree.nn_search_kd_union(
+            jnp.asarray(q), idx, 4.0, interpret=True)
+        w = ~(np.asarray(fr) | np.asarray(fu))
+        assert w.mean() > 0.8
+        agree = (np.asarray(ir)[w] == np.asarray(iu)[w]) | np.isclose(
+            np.asarray(d2r)[w], np.asarray(d2u)[w], rtol=1e-6, atol=1e-9)
+        assert agree.all()
+
+    def test_resident_batched_custom_vmap(self):
+        """The pair axis joins the kernel grid: vmapped resident search
+        must equal per-pair scipy on every pair (distinct clouds)."""
+        pairs = [_clouds(n_t=9000, n_q=400, seed=20 + s) for s in range(3)]
+        kds = kdtree.stack_kd_indexes(
+            [kdtree.build_kd_index(t) for _, t in pairs])
+        q = jnp.asarray(np.stack([q for q, _ in pairs]))
+        f = jax.vmap(lambda qq, kk: kdtree.nn_search_kd_resident(
+            qq, kk, 4.0, interpret=True))
+        i, d2, fail = map(np.asarray, f(q, kds))
+        for b, (qb, tb) in enumerate(pairs):
+            dref, iref = cKDTree(tb).query(qb, k=1, workers=-1)
+            d2ref = dref * dref
+            w = ~fail[b] & (d2ref <= 4.0)
+            agree = (i[b][w] == iref[w]) | np.isclose(
+                d2[b][w], d2ref[w], rtol=1e-5, atol=1e-6)
+            assert agree.all(), b
+
+    def test_resident_fits_budget(self):
+        assert knn.resident_fits(512, 768)          # ETH bench shapes
+        assert not knn.resident_fits(2048, 2048)    # 128 MB of pages
+
+
 class TestWarmStart:
     """Warm-start matching (nn_search_kd_radius / match_kd_warm): per-query
     radii from cached previous matches must stay EXACT — the cached match
