@@ -49,6 +49,63 @@ class TestProfiling:
         assert "k-NN matcher" in report and "JTJ accumulate" in report
         assert "matching" in report
 
+    def test_work_model_matches_interpret_kernel_inputs(self):
+        """The efficiency report's MODELED kd membership must equal the
+        real prefix-kernel membership (interpret mode) for the same
+        iteration-0 queries — pinning the report's work model to the
+        actual kernel inputs (VERDICT r2 item 7)."""
+        import jax
+        import jax.numpy as jnp
+
+        from icp_variants_tpu.core import cloud as cloud_lib
+        from icp_variants_tpu.ops import kdtree, knn, selection as sel_mod
+        from icp_variants_tpu.pipeline import icp as icp_mod
+        from icp_variants_tpu.pipeline.config import Selection
+
+        rng = np.random.default_rng(0)
+        tpts = rng.uniform(-10, 10, (20000, 3)).astype(np.float32)
+        spts = (tpts + 0.05).astype(np.float32)
+        nrm = np.tile([0.0, 0.0, 1.0], (20000, 1)).astype(np.float32)
+        source = cloud_lib.from_numpy(spts, normals=nrm, morton_order=True)
+        target = cloud_lib.from_numpy(tpts, normals=nrm, morton_order=True)
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            selection=Selection.RANDOM, selection_proba=0.02,
+            max_distance=4.0,
+        )
+        kd = kdtree.build_kd_index(
+            np.asarray(target.points), np.asarray(target.valid))
+        key = jax.random.PRNGKey(0)
+        visited, nqt, nq_pad, m_bytes, m_flops, label = (
+            profiling.matcher_work_model(
+                cfg, source, target, key=key, kd_index=kd))
+        assert "modeled" in label
+        assert m_bytes > 0 and m_flops > 0
+
+        # Rebuild the iteration-0 query set the way stage 1 does (same
+        # seed, same gap process), then feed the REAL prefix kernel.
+        keys = jax.random.split(key, cfg.n_iterations)
+        k_cap = icp_mod._compact_capacity(source.capacity, cfg.selection_proba)
+        sel_idx, in_range = sel_mod.bernoulli_gap_indices(
+            keys[0], cfg.selection_proba, jnp.int32(1), source.capacity, k_cap)
+        sel_mask = in_range & source.valid[sel_idx]
+        q = source.points[sel_idx]
+        anchor = q[jnp.argmax(sel_mask)]
+        q = jnp.where(sel_mask[:, None], q, anchor)
+        tq = kdtree.TILE_Q_DEFAULT
+        qp = knn._pad_rows(
+            knn._pad_features(q), kdtree._PREFIX_GROUP * tq, 0.0)
+        bound = float(np.float32(cfg.max_distance) * (1 + 1e-6) + 1e-30)
+        # Real kernel input: pad rows frozen out (_kd_bitmap_search pads
+        # binit with -1).
+        binit = jnp.pad(
+            jnp.full((q.shape[0],), bound, jnp.float32),
+            (0, qp.shape[0] - q.shape[0]), constant_values=-1.0)
+        member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+            qp, binit, kd, tile_q=tq, k=kdtree.K_DEFAULT, interpret=True)
+        assert nq_pad == qp.shape[0]
+        assert visited == int(np.asarray(member).sum())
+
     def test_bunny_profile_cli(self, capsys):
         from icp_variants_tpu.__main__ import main
 
