@@ -606,12 +606,16 @@ def main():
     # matcher config; tests pin the equality). Since the geometric-gap
     # selection rewrite RANDOM is as fast as the RANDOM_FAST stratified
     # extension, so the headline carries no selection-mode asterisk.
-    # The warm-start match cache is a config knob: measure both warm
-    # (the default — measured winner, 12.7 vs 11.5 pairs/s end-to-end on
-    # this exact program, scripts/warm_ab_sweep_log.txt) and cold (union)
-    # arms and report the faster — identical results either way (exactness
-    # tests cover both), so the headline never regresses below the proven
-    # fallback config.
+    # The warm-start match cache is a config knob: measure both warm and
+    # cold (union) arms and report the faster — identical results either
+    # way (exactness tests cover both), so the headline never regresses
+    # below the proven fallback config. NOTE the sweep-vs-bench
+    # discrepancy: the warm_ab_sweep harness (matcher-only scan) once
+    # measured warm ahead (12.7 vs 11.5, scripts/warm_ab_sweep_log.txt),
+    # but under THIS full bench program the cold arm has won every
+    # hardware run (11.62 vs 9.7-10.0 in r2/r3 logs) — the sweep excludes
+    # the per-iteration cache update + granule radius plumbing that the
+    # production scan pays. min(dt_warm, dt_cold) protects the headline.
     state = prepare_host_state(pairs)
     dt_warm = bench_tpu(pairs, Selection.RANDOM, state=state)
     dt_cold = bench_tpu(

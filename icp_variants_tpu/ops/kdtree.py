@@ -476,9 +476,12 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 1)
         sel = (cols_i // _SG_WIDTH == rows_i).astype(jnp.float32)
-        counts = jax.lax.dot(
-            sel, hit, precision=jax.lax.Precision.HIGHEST
-        )                                               # (n_groups, nc)
+        # DEFAULT precision is EXACT here: every operand (0/1 selectors
+        # and hits; powers of two <= 2^15 below) is bf16-representable,
+        # bf16 products of such values are exact, and the MXU accumulates
+        # in f32 with sums < 2^24 — HIGHEST's 6 passes tripled the prefix
+        # kernel's cost for nothing (0.15 vs 0.055 ms/pair, probe log).
+        counts = jax.lax.dot(sel, hit)                  # (n_groups, nc)
         bits = jnp.minimum(counts, 1.0)
         g_r = jax.lax.broadcasted_iota(
             jnp.int32, (_PREFIX_GROUP, n_groups), 0
@@ -496,7 +499,7 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
             0,
         ).astype(jnp.float32)
         mask_ref[:] = jnp.round(jax.lax.dot(
-            pow2, bits, precision=jax.lax.Precision.HIGHEST
+            pow2, bits
         )).astype(jnp.int32)                            # (_PREFIX_GROUP, nc)
 
     return kernel
@@ -951,9 +954,18 @@ def match_kd(
 
     if impl is None:
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
-    if impl == "v2":
-        # Production: the union kernel (per-query candidate tightness at
-        # per-tile bandwidth); the flat-gather search stays the portable
+    if impl == "v2" and knn.resident_fits(*index.pages.shape[::2]):
+        # Production when the pair's page table fits VMEM: the resident
+        # kernel (measured 1.17 vs the union's 1.46 ms/pair/iter at bench
+        # shapes, scripts/resident_bench_log.txt) — zero per-block DMA,
+        # per-gate compute gating, list construction in the prefix kernel.
+        idx3, d23, fail = nn_search_kd_resident(
+            queries, index, max_distance, k=k, interpret=interpret
+        )
+    elif impl == "v2":
+        # The union kernel (per-query candidate tightness at per-tile
+        # bandwidth): the streaming path for page tables beyond the
+        # resident VMEM budget; the flat-gather search stays the portable
         # path and the batched-gather reference.
         idx3, d23, fail = nn_search_kd_union(
             queries, index, max_distance, k=k, interpret=interpret

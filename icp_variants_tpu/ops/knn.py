@@ -1234,8 +1234,11 @@ def _run_bitmap_kernel(
 # finally pays.
 RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
 # Gating granularity (query rows per conditional region) of the resident
-# kernel; hardware-swept in scripts/resident_bench_log.txt.
-RESIDENT_GATE_WIDTH = 8
+# kernel. Hardware sweep at bench shapes (scripts/resident_bench_log.txt,
+# ms/pair/iter): 128 -> 2.26, 64 -> 1.17, 32 -> 1.22, 16 -> 1.44,
+# 8 -> 1.77 — the scalar-branch overhead per (gate, block) region beats
+# the VPU savings below 64 rows.
+RESIDENT_GATE_WIDTH = 64
 
 
 def resident_fits(nc: int, tile_t: int) -> bool:
@@ -1249,15 +1252,16 @@ def _make_resident_kernel(
     tile_t: int, nc_real: int, nqt: int, n_features: int,
     quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
 ):
-    """Resident-pages variant of the bitmap kernel (same code/mask inputs,
-    same result contract): grid = (pair, query tile); the first tile of
-    each pair bulk-copies the pair's full page table into a VMEM scratch
-    that persists across the pair's tiles. The member walk and the
-    per-(subgroup, block) gated distance passes are unchanged except that
-    candidates are sliced from VMEM instead of DMA-chunked from HBM —
-    hot/cold phase discipline survives only as the per-subgroup
-    frozen-bound prune (wb16) on cold blocks, since there is no DMA left
-    to gate.
+    """Resident-pages search kernel (single-phase): grid = (pair, query
+    tile); the first tile of each pair bulk-copies the pair's full page
+    table into a VMEM scratch (4 parallel DMA streams) that persists
+    across the pair's tiles. Each tile then scans its member span
+    [jmin, jend) directly — ONE scalar pass, no compaction walk, no
+    hot/cold phases (the probe decomposition measured the bitmap-style
+    walk at 0.53 ms/pair/iter, half the kernel; with membership already
+    top-k-capped per query by the prefix, a cold-phase bound prune cannot
+    buy that back) — and runs per-gate-group distance passes straight out
+    of VMEM, predicated on the prefix's membership bits.
 
     ``gate_width`` (a multiple of SG_WIDTH up to tile_q) sets the gating
     granularity: each conditional region covers ``gate_width`` query rows,
@@ -1266,18 +1270,20 @@ def _make_resident_kernel(
     (gate, block) — the width trades the two (hardware-swept in
     scripts/resident_bench_log.txt).
 
-    ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = skip
-    the distance compute (copy + walk only), 2 = also skip the walk
-    (copy + code DMA only). Probe results are NOT valid matches."""
+    ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = span
+    scan without distance compute, 2 = also skip the span scan (copy +
+    code DMA only). Probe results are NOT valid matches."""
 
     n_gate = tile_q // gate_width
     r = gate_width // SG_WIDTH          # SG bits per gate
     r_mask = (1 << r) - 1
+    n_streams = 4
+    nc_stream = -(-nc_real // n_streams)
 
     def kernel(
         range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
         code_ref,         # (B*nqt, 8, nc_pad) int32 HBM: row 0 = tag|lbq
-                          # codes, row 1 = subgroup membership masks
+                          # codes (unused here), row 1 = membership masks
         t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
         q_ref,            # (tile_q, FEATURE_PAD) VMEM
         binit_ref,        # (tile_q, 1) VMEM per-query initial bound
@@ -1285,27 +1291,31 @@ def _make_resident_kernel(
         idx_ref,          # out (tile_q, 1)
         vcode_ref,        # SMEM (8, nc_pad) int32: code/mask rows landing
         vids_ref,         # SMEM (8, nc_pad) int32: rows 0/1 = compacted
-                          # hot/cold ids, 2 = cold quantized lbs,
-                          # 3/4 = hot/cold subgroup masks
-        wb16_ref,         # SMEM (n_gate,) f32: frozen per-gate bounds
+                          #   member ids / gate masks
         vpages_ref,       # VMEM (nc_real, 8, tile_t): THE resident pages
         code_sem,
-        page_sem,
+        page_sems,        # DMA (n_streams,)
     ):
         b = pl.program_id(0)
         i = pl.program_id(1)
         p = b * nqt + i
 
-        page_dma = pltpu.make_async_copy(
-            t_ref.at[pl.ds(b * nc_real, nc_real)], vpages_ref, page_sem
-        )
+        def page_dma(k):
+            lo = k * nc_stream
+            n = min(nc_stream, nc_real - k * nc_stream)
+            return pltpu.make_async_copy(
+                t_ref.at[pl.ds(b * nc_real + lo, n)],
+                vpages_ref.at[pl.ds(lo, n)],
+                page_sems.at[k],
+            )
 
-        # New pair: start the bulk page copy first so it overlaps the code
-        # DMA + scalar walk below (the scratch persists across this pair's
+        # New pair: start the page copy streams first so they overlap the
+        # code DMA below (the scratch persists across this pair's
         # remaining tiles).
         @pl.when(i == 0)
         def _():
-            page_dma.start()
+            for k in range(n_streams):
+                page_dma(k).start()
 
         code_dma = pltpu.make_async_copy(code_ref.at[p], vcode_ref, code_sem)
         code_dma.start()
@@ -1315,42 +1325,37 @@ def _make_resident_kernel(
 
         code_dma.wait()
 
-        # Fused scalar compaction walk over the member span (identical to
-        # the bitmap kernel's): unconditional stores, next member
-        # overwrites a non-member's slot.
-        def walk(j, carry):
-            ch, cc = carry
-            m = vcode_ref[0, j]
+        # Minimal compaction walk: members cost the compute loop a
+        # conditional-vector-region test EVEN WHEN NOT TAKEN (~50 ns each,
+        # probe log v2), so iterate the span once with pure scalar work
+        # (2 SMEM stores + predicated count) and hand the compute loop
+        # exactly cnt member entries. v1's 5-store walk measured 0.53
+        # ms/pair; a bare scan is ~free (probe=1 runs).
+        def walk(j, c):
             msk = vcode_ref[1, j]
-            tag = m & 3
-            jc = jnp.minimum(j, nc_real - 1)
-            vids_ref[0, ch] = jc
-            vids_ref[1, cc] = jc
-            vids_ref[2, cc] = m >> 2
-            vids_ref[3, ch] = msk
-            vids_ref[4, cc] = msk
-            return ch + (tag == 1), cc + (tag == 2)
+            vids_ref[0, c] = jnp.minimum(j, nc_real - 1)
+            vids_ref[1, c] = msk
+            return c + (msk != 0)
 
         if probe >= 2:
-            cnt_h, cnt_c = 0, 0
+            cnt = 0
         else:
-            cnt_h, cnt_c = jax.lax.fori_loop(
-                range_ref[p, 0], range_ref[p, 1], walk, (0, 0)
+            cnt = jax.lax.fori_loop(
+                range_ref[p, 0], range_ref[p, 1], walk, 0
             )
         if probe >= 1:
-            cnt_h, cnt_c = 0, 0
+            cnt = 0
 
         @pl.when(i == 0)
         def _():
-            page_dma.wait()
+            for k in range(n_streams):
+                page_dma(k).wait()
 
-        def _sub_compute(block_id, msk, need_extra=None):
+        def _sub_compute(block_id, msk):
             """Gated per-gate-group distance pass against VMEM block rows."""
             t = vpages_ref[block_id]                    # (8, tile_t)
             for s in range(n_gate):
                 need = ((msk >> (s * r)) & r_mask) != 0
-                if need_extra is not None:
-                    need = need & need_extra(s)
 
                 @pl.when(need)
                 def _(s=s):
@@ -1369,46 +1374,13 @@ def _make_resident_kernel(
                         better, local_min, dist_ref[rows]
                     )
 
-        # --- phase 1: hot blocks (contain a live query) -------------------
-        def body1(k, _):
-            msk = vids_ref[3, k]
-
-            @pl.when(msk != 0)
-            def _():
-                _sub_compute(vids_ref[0, k], msk)
-
+        # Compute pass over the COMPACTED members only (per-gate-group
+        # branches run solely where some query needs the block).
+        def body(k, _):
+            _sub_compute(vids_ref[0, k], vids_ref[1, k])
             return 0
 
-        jax.lax.fori_loop(0, cnt_h, body1, 0)
-
-        # --- phase 2: cold blocks under frozen per-gate bounds ------------
-        @pl.when(cnt_c > 0)
-        def _():
-            for s in range(n_gate):
-                wb16_ref[s] = jnp.max(
-                    dist_ref[s * gate_width:(s + 1) * gate_width]
-                )
-            # Quantized-UP frozen bounds: skipping block B for gate group s
-            # when quantized-down lb_tile(B) > bound(s) is exact because
-            # lb_tile <= lb(q, B) for every tile query q.
-            wbqs = [
-                (wb16_ref[s] * quant_scale).astype(jnp.int32) + 1
-                for s in range(n_gate)
-            ]
-
-            def body2(k, _):
-                msk = vids_ref[4, k]
-
-                @pl.when(msk != 0)
-                def _():
-                    lbq = vids_ref[2, k]
-                    _sub_compute(
-                        vids_ref[1, k], msk, lambda s: lbq <= wbqs[s]
-                    )
-
-                return 0
-
-            jax.lax.fori_loop(0, cnt_c, body2, 0)
+        jax.lax.fori_loop(0, cnt, body, 0)
 
     return kernel
 
@@ -1487,10 +1459,9 @@ def _run_resident_kernel_flat(
         scratch_shapes=[
             pltpu.SMEM((8, nc_pad), jnp.int32),
             pltpu.SMEM((8, nc_pad), jnp.int32),
-            pltpu.SMEM((tile_q // gate_width,), jnp.float32),
             pltpu.VMEM((nc, 8, tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     dist, idx = pl.pallas_call(

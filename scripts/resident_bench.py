@@ -162,7 +162,7 @@ def gate_sweep():
     # tile_q=256 OOMs the prefix kernel's 16 MB scoped VMEM (measured:
     # 20.08M requested) — resident sweeps stay at tile_q=128.
     import itertools
-    for gw, tq in itertools.product((64, 32, 16), (128,)):
+    for gw, tq in itertools.product((32, 16, 8), (128,)):
         if gw > tq:
             continue
         vm = jax.vmap(
@@ -182,4 +182,111 @@ def gate_sweep():
             best = min(best, (time.perf_counter() - t0) / 3 / 20 * 1000)
         log(f"gate={gw:3d} tile_q={tq:3d}: {best:8.3f} ms/iter-batch "
             f"({best / B:6.3f}/pair, compile {tc:.0f}s)")
+    log("done")
+
+
+def probe_decomp():
+    """Fixed-cost bisection of the resident kernel: probe=2 (page copy +
+    code DMA only), probe=1 (+ walk), full (gate=8). Differences isolate
+    the bulk copy, the scalar walk, and the gated compute."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree, knn
+
+    B, NQ = 16, 4736
+    pairs = bench.make_pairs()
+    tclouds = [
+        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+        for (_, _, tp, tn) in pairs
+    ]
+    kd = kdtree.stack_kd_indexes([
+        kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
+        for t in tclouds
+    ])
+    sclouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    rng = np.random.default_rng(0)
+    qs = []
+    for sc in sclouds:
+        pts = np.asarray(sc.points)
+        valid = np.asarray(sc.valid)
+        rows = np.flatnonzero((rng.random(len(pts)) < 0.012) & valid)[:NQ]
+        rows = np.pad(rows, (0, NQ - len(rows)), mode="edge")
+        qs.append(pts[rows] + rng.normal(0, 0.02, (NQ, 3)).astype(np.float32))
+    q = jnp.asarray(np.stack(qs).astype(np.float32))
+    log(f"=== resident probe decomposition ({B} pairs, 20-iter scan) ===")
+
+    def scan_of(fn):
+        def run(qb):
+            def body(c, _):
+                out = fn(qb + c * 1e-6)
+                return c + 1.0, jax.tree.map(lambda x: x[..., :1], out)
+            _, outs = jax.lax.scan(body, 0.0, None, length=20)
+            return outs
+        return jax.jit(run)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("probe",))
+    def search_probe(qb, kd, probe):
+        def one(qq, kk):
+            d = kk.block_min.shape[1]
+            qp = knn._pad_rows(
+                knn._pad_features(qq[:, :d]),
+                kdtree._PREFIX_GROUP * kdtree.TILE_Q_DEFAULT, 0.0)
+            bound = jnp.float32(10.0) * (1 + 1e-6) + 1e-30
+            binit = jnp.pad(
+                jnp.full((qq.shape[0],), bound, jnp.float32),
+                (0, qp.shape[0] - qq.shape[0]), constant_values=-1.0)
+            member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+                qp, binit, kk, tile_q=128, k=4, interpret=False)
+            dist, idx = knn._run_resident_kernel_flat(
+                qp[None], binit[None], hot[None], (member & ~hot)[None],
+                lb_tile[None], submask[None], kk.pages[None], 10.0,
+                tile_q=128, tile_t=kk.pages.shape[2], n_features=d,
+                gate_width=8, interpret=False, probe=probe)
+            return dist[0], idx[0]
+        return jax.vmap(one)(qb, kd)
+
+    for probe, name in ((2, "copy+codeDMA only"), (1, "+ scalar walk"),
+                        (0, "full (gate=8)")):
+        fn = scan_of(lambda qb, probe=probe: search_probe(qb, kd, probe))
+        t0 = time.perf_counter()
+        out = fn(q)
+        jax.device_get(jax.tree.leaves(out)[0])
+        tc = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(q)
+            jax.device_get(jax.tree.leaves(out)[0])
+            best = min(best, (time.perf_counter() - t0) / 3 / 20 * 1000)
+        log(f"probe={probe} {name:22s}: {best:8.3f} ms/iter-batch "
+            f"({best / B:6.3f}/pair, compile {tc:.0f}s)")
+    # Also: prefix alone (the XLA-visible part of the bitmap path).
+    fn = scan_of(lambda qb: jax.vmap(
+        lambda qq, kk: kdtree._radius_prefix(
+            knn._pad_rows(knn._pad_features(qq[:, :3]), 1024, 0.0),
+            jnp.full((5120,), 10.0, jnp.float32), kk,
+            tile_q=128, k=4, interpret=False)[0])(qb, kd))
+    t0 = time.perf_counter()
+    out = fn(q)
+    jax.device_get(jax.tree.leaves(out)[0])
+    tc = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(q)
+        jax.device_get(jax.tree.leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / 3 / 20 * 1000)
+    log(f"prefix kernel only            : {best:8.3f} ms/iter-batch "
+        f"({best / B:6.3f}/pair, compile {tc:.0f}s)")
     log("done")
