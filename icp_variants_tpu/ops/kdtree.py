@@ -417,11 +417,14 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
     ``mask_ref`` carries per-SUBGROUP membership: bit g of ``mask[s, c]``
     is set iff any query of tile s's g-th ``_SG_WIDTH``-row subgroup has
     block c in its hit set. The search kernel gates its distance compute
-    per (subgroup, block) on these bits — the host probe measured the
-    tile-level union costing 5-7x the per-subgroup information floor
-    (scripts/subgroup_union_log.txt). Bits are accumulated with two MXU
-    matmuls (subgroup-selector then power-of-two packing) instead of 128
-    unrolled row reductions: exact in f32 (counts < 2^24)."""
+    per (subgroup, block) on these bits.
+
+    The kernel iterates the group's tiles one at a time so every
+    intermediate is (tile_q, nc) — a group-wide (gq, nc) lb matrix OOMed
+    the 16 MB scoped VMEM at nc >= 1024 (the fine-block sweep), and the
+    per-tile working set pipelines better at nc = 512 too. Subgroup bits
+    are packed with integer shift + sum over an (n_sub, 8, nc) reshape —
+    exact int32, no MXU rounding arguments needed."""
 
     n_sub = tile_q // _SG_WIDTH
 
@@ -429,78 +432,51 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
         q_ref, binit_ref, bmin_ref, bmax_ref,
         member_ref, hot_ref, lbtile_ref, resid_ref, mask_ref,
     ):
-        lb = None
-        for j in range(d):
-            qj = q_ref[:, j:j + 1]                  # (group*tile_q, 1)
-            gap = jnp.maximum(
-                jnp.maximum(
-                    bmin_ref[j:j + 1, :] - qj, qj - bmax_ref[j:j + 1, :]
-                ),
-                0.0,
-            )
-            lb = gap * gap if lb is None else lb + gap * gap  # (gq, nc)
-        in_radius = (lb <= binit_ref[:]).astype(jnp.float32)
-        if k > 0:
-            iota = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
-            w = lb
-            chosen = jnp.zeros_like(lb)
-            for _ in range(k):
-                a = jnp.argmin(w, axis=1).astype(jnp.int32)
-                pick = (iota == a[:, None]).astype(jnp.float32)
-                chosen = jnp.maximum(chosen, pick)
-                w = jnp.where(pick > 0.0, jnp.inf, w)
-            resid = jnp.min(w, axis=1, keepdims=True)   # (gq, 1)
-            hit = chosen * in_radius
-        else:
-            resid = jnp.full_like(binit_ref[:], jnp.inf)
-            hit = in_radius
-        resid_ref[:] = resid
-        # Hot = member blocks CONTAINING a live query (lb == 0): the search
-        # kernel runs them first unconditionally, after which every query's
-        # running best is near-final and the frozen-bound prune can gate
-        # the rest.
-        hot = jnp.where(lb <= 0.0, hit, 0.0)
         for s in range(_PREFIX_GROUP):
             rows = slice(s * tile_q, (s + 1) * tile_q)
-            member_ref[s:s + 1, :] = jnp.max(hit[rows], axis=0, keepdims=True)
-            hot_ref[s:s + 1, :] = jnp.max(hot[rows], axis=0, keepdims=True)
-            lbtile_ref[s:s + 1, :] = jnp.min(lb[rows], axis=0, keepdims=True)
+            lb = None
+            for j in range(d):
+                qj = q_ref[rows, j:j + 1]           # (tile_q, 1)
+                gap = jnp.maximum(
+                    jnp.maximum(
+                        bmin_ref[j:j + 1, :] - qj, qj - bmax_ref[j:j + 1, :]
+                    ),
+                    0.0,
+                )
+                lb = gap * gap if lb is None else lb + gap * gap
+            in_radius = (lb <= binit_ref[rows]).astype(jnp.float32)
+            if k > 0:
+                iota = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
+                w = lb
+                chosen = jnp.zeros_like(lb)
+                for _ in range(k):
+                    a = jnp.argmin(w, axis=1).astype(jnp.int32)
+                    pick = (iota == a[:, None]).astype(jnp.float32)
+                    chosen = jnp.maximum(chosen, pick)
+                    w = jnp.where(pick > 0.0, jnp.inf, w)
+                resid = jnp.min(w, axis=1, keepdims=True)   # (tile_q, 1)
+                hit = chosen * in_radius
+            else:
+                resid = jnp.full_like(binit_ref[rows], jnp.inf)
+                hit = in_radius
+            resid_ref[rows] = resid
+            # Hot = member blocks CONTAINING a live query (lb == 0): the
+            # search kernel runs them first, after which every query's
+            # running best is near-final.
+            hot = jnp.where(lb <= 0.0, hit, 0.0)
+            member_ref[s:s + 1, :] = jnp.max(hit, axis=0, keepdims=True)
+            hot_ref[s:s + 1, :] = jnp.max(hot, axis=0, keepdims=True)
+            lbtile_ref[s:s + 1, :] = jnp.min(lb, axis=0, keepdims=True)
 
-        # Per-subgroup membership bits. counts[i, c] = #hits of global
-        # subgroup i (row span [i*_SG_WIDTH, (i+1)*_SG_WIDTH)) in block c;
-        # mask[s, c] = sum_g [counts[s*n_sub+g, c] > 0] * 2^g.
-        gq = _PREFIX_GROUP * tile_q
-        n_groups = gq // _SG_WIDTH
-        # Mosaic's tpu.iota is integer-only on hardware (interpret mode
-        # accepts f32) — build selectors in int32 and cast for the dots.
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (n_groups, gq), 1)
-        sel = (cols_i // _SG_WIDTH == rows_i).astype(jnp.float32)
-        # DEFAULT precision is EXACT here: every operand (0/1 selectors
-        # and hits; powers of two <= 2^15 below) is bf16-representable,
-        # bf16 products of such values are exact, and the MXU accumulates
-        # in f32 with sums < 2^24 — HIGHEST's 6 passes tripled the prefix
-        # kernel's cost for nothing (0.15 vs 0.055 ms/pair, probe log).
-        counts = jax.lax.dot(sel, hit)                  # (n_groups, nc)
-        bits = jnp.minimum(counts, 1.0)
-        g_r = jax.lax.broadcasted_iota(
-            jnp.int32, (_PREFIX_GROUP, n_groups), 0
-        )
-        g_c = jax.lax.broadcasted_iota(
-            jnp.int32, (_PREFIX_GROUP, n_groups), 1
-        )
-        g_off = g_c - g_r * n_sub
-        # Integer shift: exact powers of two (n_sub <= 16 so < 2^24, safe
-        # as f32 dot operands; a f32 exp2 path landed ulps BELOW the exact
-        # power and truncated to value-1 on the int cast).
-        pow2 = jnp.where(
-            (g_off >= 0) & (g_off < n_sub),
-            jnp.left_shift(1, jnp.clip(g_off, 0, n_sub - 1)),
-            0,
-        ).astype(jnp.float32)
-        mask_ref[:] = jnp.round(jax.lax.dot(
-            pow2, bits
-        )).astype(jnp.int32)                            # (_PREFIX_GROUP, nc)
+            # Per-subgroup membership bits for tile s: bit g of
+            # mask[s, c] = any hit in query rows [g*8, (g+1)*8).
+            bits = jnp.max(
+                hit.reshape(n_sub, _SG_WIDTH, nc), axis=1
+            ).astype(jnp.int32)                         # (n_sub, nc) 0/1
+            shifts = jax.lax.broadcasted_iota(jnp.int32, (n_sub, nc), 0)
+            mask_ref[s:s + 1, :] = jnp.sum(
+                jnp.left_shift(bits, shifts), axis=0, keepdims=True
+            )
 
     return kernel
 

@@ -1290,8 +1290,8 @@ def _make_resident_kernel(
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
         vcode_ref,        # SMEM (8, nc_pad) int32: code/mask rows landing
-        vids_ref,         # SMEM (8, nc_pad) int32: rows 0/1 = compacted
-                          #   member ids / gate masks
+        vids_ref,         # SMEM (n_gate, nc_pad) int32: per-gate
+                          #   compacted member-id lists
         vpages_ref,       # VMEM (nc_real, 8, tile_t): THE resident pages
         code_sem,
         page_sems,        # DMA (n_streams,)
@@ -1320,67 +1320,73 @@ def _make_resident_kernel(
         code_dma = pltpu.make_async_copy(code_ref.at[p], vcode_ref, code_sem)
         code_dma.start()
 
-        dist_ref[:] = binit_ref[:]
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
-
+        # dist/idx are fully written by the per-gate loops below (their
+        # carries start from binit / -1), so no output pre-init is needed.
         code_dma.wait()
 
-        # Minimal compaction walk: members cost the compute loop a
-        # conditional-vector-region test EVEN WHEN NOT TAKEN (~50 ns each,
-        # probe log v2), so iterate the span once with pure scalar work
-        # (2 SMEM stores + predicated count) and hand the compute loop
-        # exactly cnt member entries. v1's 5-store walk measured 0.53
-        # ms/pair; a bare scan is ~free (probe=1 runs).
-        def walk(j, c):
+        # Per-GATE compaction walk: one member-id list per gate group, so
+        # the compute loops below are branch-free (a conditional vector
+        # region costs ~50-100 ns whether or not it is taken — the v1/v3
+        # sweeps bottomed out on exactly that; scalar walk work overlaps
+        # the previous tiles' vector compute across grid steps and is
+        # ~free, probe logs).
+        def walk(j, counts):
             msk = vcode_ref[1, j]
-            vids_ref[0, c] = jnp.minimum(j, nc_real - 1)
-            vids_ref[1, c] = msk
-            return c + (msk != 0)
+            jc = jnp.minimum(j, nc_real - 1)
+            out = []
+            for g in range(n_gate):
+                c = counts[g]
+                vids_ref[g, c] = jc
+                out.append(c + ((msk >> (g * r)) & r_mask != 0))
+            return tuple(out)
 
-        if probe >= 2:
-            cnt = 0
-        else:
-            cnt = jax.lax.fori_loop(
-                range_ref[p, 0], range_ref[p, 1], walk, 0
-            )
         if probe >= 1:
-            cnt = 0
+            counts = (0,) * n_gate
+        else:
+            counts = jax.lax.fori_loop(
+                range_ref[p, 0], range_ref[p, 1], walk, (0,) * n_gate
+            )
 
         @pl.when(i == 0)
         def _():
             for k in range(n_streams):
                 page_dma(k).wait()
 
-        def _sub_compute(block_id, msk):
-            """Gated per-gate-group distance pass against VMEM block rows."""
-            t = vpages_ref[block_id]                    # (8, tile_t)
-            for s in range(n_gate):
-                need = ((msk >> (s * r)) & r_mask) != 0
+        # Dense branch-free compute: per gate group, a fori over exactly
+        # its member blocks — every iteration computes, no predicates.
+        # The running (dist, idx) ride the loop CARRY (vector registers),
+        # written back to the output refs once per gate: the per-region
+        # VMEM read-modify-write was measured as part of a ~0.2 us/region
+        # fixed cost that dominated fine gate widths.
+        for g in range(n_gate):
+            rows = slice(g * gate_width, (g + 1) * gate_width)
+            qg = [q_ref[rows, c:c + 1] for c in range(n_features)]
 
-                @pl.when(need)
-                def _(s=s):
-                    rows = slice(s * gate_width, (s + 1) * gate_width)
-                    d2 = (q_ref[rows, 0:1] - t[0:1, :]) ** 2
-                    for c in range(1, n_features):
-                        d2 = d2 + (q_ref[rows, c:c + 1] - t[c:c + 1, :]) ** 2
-                    local_min = jnp.min(d2, axis=1, keepdims=True)
-                    sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
-                    # PAIR-LOCAL sorted page index (callers map via their
-                    # own page_orig).
-                    local_arg = (block_id * tile_t + sub).reshape(-1, 1)
-                    better = local_min < dist_ref[rows]
-                    idx_ref[rows] = jnp.where(better, local_arg, idx_ref[rows])
-                    dist_ref[rows] = jnp.where(
-                        better, local_min, dist_ref[rows]
-                    )
+            def body(k, carry, g=g, qg=qg):
+                dist, idx = carry
+                block_id = vids_ref[g, k]
+                t = vpages_ref[block_id]                # (8, tile_t)
+                d2 = (qg[0] - t[0:1, :]) ** 2
+                for c in range(1, n_features):
+                    d2 = d2 + (qg[c] - t[c:c + 1, :]) ** 2
+                local_min = jnp.min(d2, axis=1, keepdims=True)
+                sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                # PAIR-LOCAL sorted page index (callers map via their own
+                # page_orig).
+                local_arg = (block_id * tile_t + sub).reshape(-1, 1)
+                better = local_min < dist
+                return (
+                    jnp.where(better, local_min, dist),
+                    jnp.where(better, local_arg, idx),
+                )
 
-        # Compute pass over the COMPACTED members only (per-gate-group
-        # branches run solely where some query needs the block).
-        def body(k, _):
-            _sub_compute(vids_ref[0, k], vids_ref[1, k])
-            return 0
-
-        jax.lax.fori_loop(0, cnt, body, 0)
+            dist, idx = jax.lax.fori_loop(
+                0, counts[g],
+                body,
+                (binit_ref[rows], jnp.full((gate_width, 1), -1, jnp.int32)),
+            )
+            dist_ref[rows] = dist
+            idx_ref[rows] = idx
 
     return kernel
 
@@ -1458,7 +1464,7 @@ def _run_resident_kernel_flat(
         ],
         scratch_shapes=[
             pltpu.SMEM((8, nc_pad), jnp.int32),
-            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((max(tile_q // gate_width, 2), nc_pad), jnp.int32),
             pltpu.VMEM((nc, 8, tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((4,)),

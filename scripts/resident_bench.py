@@ -162,7 +162,7 @@ def gate_sweep():
     # tile_q=256 OOMs the prefix kernel's 16 MB scoped VMEM (measured:
     # 20.08M requested) — resident sweeps stay at tile_q=128.
     import itertools
-    for gw, tq in itertools.product((32, 16, 8), (128,)):
+    for gw, tq in itertools.product((64, 32, 8), (128,)):
         if gw > tq:
             continue
         vm = jax.vmap(
@@ -289,4 +289,84 @@ def probe_decomp():
         best = min(best, (time.perf_counter() - t0) / 3 / 20 * 1000)
     log(f"prefix kernel only            : {best:8.3f} ms/iter-batch "
         f"({best / B:6.3f}/pair, compile {tc:.0f}s)")
+    log("done")
+
+
+def block_sweep():
+    """Resident kernel vs kd block size: with zero per-block DMA, finer
+    blocks cut per-query candidates (K x cap) at the same page bytes —
+    the union path's DMA-issue argument against them no longer applies."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from icp_variants_tpu.core import cloud as cloud_lib
+    from icp_variants_tpu.ops import kdtree
+
+    B, NQ = 16, 4736
+    pairs = bench.make_pairs()
+    tclouds = [
+        cloud_lib.from_numpy(tp, normals=tn, morton_order=True)
+        for (_, _, tp, tn) in pairs
+    ]
+    sclouds = [
+        cloud_lib.from_numpy(sp, normals=sn, morton_order=True)
+        for (sp, sn, _, _) in pairs
+    ]
+    rng = np.random.default_rng(0)
+    qs = []
+    for sc in sclouds:
+        pts = np.asarray(sc.points)
+        valid = np.asarray(sc.valid)
+        rows = np.flatnonzero((rng.random(len(pts)) < 0.012) & valid)[:NQ]
+        rows = np.pad(rows, (0, NQ - len(rows)), mode="edge")
+        qs.append(pts[rows] + rng.normal(0, 0.02, (NQ, 3)).astype(np.float32))
+    q = jnp.asarray(np.stack(qs).astype(np.float32))
+    log(f"=== resident block_target sweep ({B} pairs, 20-iter scan) ===")
+
+    def scan_of(fn):
+        def run(qb):
+            def body(c, _):
+                out = fn(qb + c * 1e-6)
+                return c + 1.0, jax.tree.map(lambda x: x[..., :1], out)
+            _, outs = jax.lax.scan(body, 0.0, None, length=20)
+            return outs
+        return jax.jit(run)
+
+    from scipy.spatial import cKDTree
+    for bt in (768, 512, 384, 256):
+        kd = kdtree.stack_kd_indexes([
+            kdtree.build_kd_index(
+                np.asarray(t.points), np.asarray(t.valid), block_target=bt)
+            for t in tclouds
+        ])
+        nc, _, tile_t = jax.tree.leaves(kd)[4].shape[1:]
+        vm = jax.vmap(
+            lambda qq, kk: kdtree.nn_search_kd_resident(qq, kk, 10.0), (0, 0))
+        fn = scan_of(lambda qb, vm=vm, kd=kd: vm(qb, kd))
+        t0 = time.perf_counter()
+        out = fn(q)
+        jax.device_get(jax.tree.leaves(out)[0])
+        tc = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(q)
+            jax.device_get(jax.tree.leaves(out)[0])
+            best = min(best, (time.perf_counter() - t0) / 3 / 20 * 1000)
+        # exactness spot-check on pair 0
+        kd0 = jax.tree.map(lambda x: x[0], kd)
+        i_r, d2_r, fail_r = map(
+            np.asarray, kdtree.nn_search_kd_resident(q[0], kd0, 10.0))
+        tpts = np.asarray(tclouds[0].points)
+        dref, iref = cKDTree(tpts).query(np.asarray(q[0]), k=1, workers=-1)
+        d2ref = dref * dref
+        w = (~fail_r) & (d2ref <= 10.0)
+        agree = ((i_r[w] == iref[w])
+                 | np.isclose(d2_r[w], d2ref[w], rtol=1e-5)).mean()
+        log(f"bt={bt:4d} (nc={nc:4d} cap={tile_t:4d}): {best:8.3f} "
+            f"ms/iter-batch ({best / B:6.3f}/pair, compile {tc:.0f}s, "
+            f"agree {agree:.6f} fail {fail_r.mean():.4f})")
     log("done")
