@@ -422,7 +422,10 @@ def bench_tum_projective(state):
     from icp_variants_tpu.pipeline import icp
     from icp_variants_tpu.pipeline.config import Matching
 
-    cfg = _tum_base_config(matching=Matching.PROJECTIVE)
+    # Chunk sized so the 8-frame batch's live candidate tensor stays
+    # ~0.9 GB (the single-frame default OOMed HBM at 7.2 GB).
+    cfg = _tum_base_config(
+        matching=Matching.PROJECTIVE, projective_chunk=4096)
     sources, targets = state["sources_ds"], state["targets_img"]
 
     def run(seed):
@@ -645,7 +648,16 @@ def main():
         "distinct_pairs_per_batch": BATCH_PAIRS,
     }
 
-    if "eth_indoor" in sections:
+    # Secondary sections are fault-contained: one section failing (e.g. a
+    # first-time compile tripping a VMEM limit) must not cost the headline
+    # JSON line the driver records.
+    def section(name, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — report, never crash
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    def _eth_indoor():
         # The HARD synthetic family (multi-surface indoor scene, density
         # falloff, 20-40% non-overlap) under the exact headline config —
         # same capacities, so it reuses the compiled executable.
@@ -660,18 +672,28 @@ def main():
         out["eth_indoor_pairs_per_sec"] = round(1.0 / min(dt_iw, dt_ic), 4)
         out["eth_indoor_vs_baseline"] = round(dt_icpu / min(dt_iw, dt_ic), 3)
 
+    if "eth_indoor" in sections:
+        section("eth_indoor", _eth_indoor)
+
     if "tum_projective" in sections or "color_multires" in sections:
         tum_state = prepare_tum_state()
-        if "tum_projective" in sections:
+
+        def _tum_projective():
             dt_p = bench_tum_projective(tum_state)
             dt_pc = bench_cpu_proxy_projective(tum_state)
             out["tum_projective_frames_per_sec"] = round(1.0 / dt_p, 4)
             out["tum_projective_vs_baseline"] = round(dt_pc / dt_p, 3)
-        if "color_multires" in sections:
+
+        def _color_multires():
             dt_m = bench_color_multires(tum_state)
             dt_mc = bench_cpu_proxy_color_multires(tum_state)
             out["color_multires_frames_per_sec"] = round(1.0 / dt_m, 4)
             out["color_multires_vs_baseline"] = round(dt_mc / dt_m, 3)
+
+        if "tum_projective" in sections:
+            section("tum_projective", _tum_projective)
+        if "color_multires" in sections:
+            section("color_multires", _color_multires)
 
     print(json.dumps(out))
 

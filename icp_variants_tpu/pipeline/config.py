@@ -138,6 +138,12 @@ class ICPConfig:
     projective_cx: float = 0.0
     projective_cy: float = 0.0
     projective_window: int = 12  # searchWindow, NearestNeighbor.h:319
+    # Queries per projective-matcher chunk (0 = the module default,
+    # ops/projective.CHUNK). The chunk sizes the live candidate tensor
+    # (chunk x 9 x 768 f32 per frame); batched multi-frame programs must
+    # shrink it or the vmapped tensor outgrows HBM (8 frames at the
+    # default = 7.2 GB, measured OOM in bench_tum_projective).
+    projective_chunk: int = 0
 
     def with_camera(self, fx: float, fy: float, cx: float, cy: float, width: int, height: int) -> "ICPConfig":
         return replace(

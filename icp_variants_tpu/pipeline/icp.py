@@ -298,6 +298,10 @@ def _iteration(
             window=cfg.projective_window,
             max_distance=cfg.max_distance,
             query_mask=sel_mask,
+            **(
+                {"chunk": cfg.projective_chunk}
+                if cfg.projective_chunk else {}
+            ),
         )
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)

@@ -162,7 +162,7 @@ def gate_sweep():
     # tile_q=256 OOMs the prefix kernel's 16 MB scoped VMEM (measured:
     # 20.08M requested) — resident sweeps stay at tile_q=128.
     import itertools
-    for gw, tq in itertools.product((64, 32, 8), (128,)):
+    for gw, tq in itertools.product((64, 128), (256,)):
         if gw > tq:
             continue
         vm = jax.vmap(
