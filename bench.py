@@ -445,13 +445,23 @@ def bench_color_multires(state):
 
     from icp_variants_tpu.pipeline import icp
 
+    from icp_variants_tpu.ops import kdtree
+
     cfg = _tum_base_config(color_icp=True, multi_resolution=True)
     sources, targets = state["sources_full"], state["targets_cmp"]
+    # 6-dim color kd over the (shared) tracking target: dense SELECT_ALL
+    # rides the resident kernel (production gate, icp.build_kd_for).
+    tgt0 = jax.tree.map(lambda x: x[0], targets)
+    kd0 = icp.build_kd_for(cfg, tgt0)
+    kd_indexes = (
+        kdtree.stack_kd_indexes([kd0] * TUM_BATCH_FRAMES)
+        if kd0 is not None else None
+    )
 
     def run(seed):
         res = icp.run_icp_batch(
             cfg, sources, targets, key=jax.random.PRNGKey(seed),
-            num_source_points=TUM_W * TUM_H)
+            num_source_points=TUM_W * TUM_H, kd_indexes=kd_indexes)
         jax.device_get(res.pose)
         return res
 
@@ -655,7 +665,7 @@ def main():
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — report, never crash
-            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:2000]
 
     def _eth_indoor():
         # The HARD synthetic family (multi-surface indoor scene, density

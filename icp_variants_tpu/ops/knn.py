@@ -877,7 +877,10 @@ def _make_bitmap_kernel(
     n_sub = tile_q // SG_WIDTH
 
     def kernel(
-        range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
+        range_ref,        # scalar prefetch (2*B*nqt,) int32: [jmin, jend)
+                          # pairs, flat — a 2-D SMEM operand pads its minor
+                          # dim to 128 lanes (9.8 MB at the TUM color
+                          # shapes vs the 1 MB SMEM, measured OOM)
         code_ref,         # (B*nqt, 8, nc) int32 in HBM: row 0 = tag|lbq
                           # codes, row 1 = subgroup membership masks
         t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
@@ -925,7 +928,7 @@ def _make_bitmap_kernel(
             return ch + (tag == 1), cc + (tag == 2)
 
         cnt_h, cnt_c = jax.lax.fori_loop(
-            range_ref[p, 0], range_ref[p, 1], walk, (0, 0)
+            range_ref[2 * p], range_ref[2 * p + 1], walk, (0, 0)
         )
         ch_h = (cnt_h + chunk - 1) // chunk
         ch_c = (cnt_c + chunk - 1) // chunk
@@ -1114,7 +1117,7 @@ def _run_bitmap_kernel_flat(
     jend = jnp.max(jnp.where(member, iota + 1, 0), axis=2)
     ranges = jnp.stack(
         [jmin, jnp.maximum(jend, jmin)], axis=-1
-    ).reshape(b * nq_tiles, 2)
+    ).reshape(2 * b * nq_tiles)
 
     kernel = _make_bitmap_kernel(
         tile_t, nc, nq_tiles, chunk, n_features, quant_scale, tile_q
@@ -1281,7 +1284,8 @@ def _make_resident_kernel(
     nc_stream = -(-nc_real // n_streams)
 
     def kernel(
-        range_ref,        # scalar prefetch (B*nqt, 2) int32: jmin, jend
+        range_ref,        # scalar prefetch (2*B*nqt,) int32: [jmin, jend)
+                          # pairs, flat (2-D SMEM operands lane-pad to 128)
         code_ref,         # (B*nqt, 8, nc_pad) int32 HBM: row 0 = tag|lbq
                           # codes (unused here), row 1 = membership masks
         t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
@@ -1344,7 +1348,7 @@ def _make_resident_kernel(
             counts = (0,) * n_gate
         else:
             counts = jax.lax.fori_loop(
-                range_ref[p, 0], range_ref[p, 1], walk, (0,) * n_gate
+                range_ref[2 * p], range_ref[2 * p + 1], walk, (0,) * n_gate
             )
 
         @pl.when(i == 0)
@@ -1426,7 +1430,7 @@ def _run_resident_kernel_flat(
     jend = jnp.max(jnp.where(member, iota + 1, 0), axis=2)
     ranges = jnp.stack(
         [jmin, jnp.maximum(jend, jmin)], axis=-1
-    ).reshape(b * nq_tiles, 2)
+    ).reshape(2 * b * nq_tiles)
 
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,

@@ -638,19 +638,38 @@ def stack_clouds(clouds) -> Cloud:
 # Below this size the kd build + extra program outweigh the candidate
 # savings (the visited-list kernel already prunes well on small clouds).
 KD_MIN_POINTS = 20_000
-# kd pays when the query set is SPARSE: its per-query K-block gather is
-# radius-independent, so with dense queries (SELECT_ALL) and a tight
-# threshold the radius-pruned visited-list kernel wins instead (measured
-# on the TUM room tracker: 51 vs 32 ms/iter, scripts/bench_projective_log).
+# When the page table does NOT fit the resident kernel's VMEM budget the
+# streaming union kernel runs, and it pays only when the query set is
+# SPARSE: its per-query block work is radius-independent, so with dense
+# queries (SELECT_ALL) and a tight threshold the radius-pruned
+# visited-list kernel wins instead (measured on the TUM room tracker: 51
+# vs 32 ms/iter, scripts/bench_projective_log). The RESIDENT kernel has
+# no per-block DMA, and dense Morton/raster-coherent query tiles have
+# tiny block unions — dense selection is its BEST case, so the gate
+# opens fully whenever it will run (bench: the dense color-multires
+# config lost to its CPU proxy on the visited-kernel path, 0.77x).
 KD_MAX_SELECTION_P = 0.05
 
 
-def _kd_selection_applies(cfg: ICPConfig) -> bool:
+def _kd_resident_will_run(cfg: ICPConfig, capacity: int) -> bool:
+    """Whether :func:`kdtree.match_kd` would pick the resident kernel for
+    a target of this capacity (page-table shapes depend on capacity
+    alone)."""
+    depth = kdtree.kd_depth_for(capacity)
+    nc = 1 << depth
+    cap_pad = ((-(-capacity // nc)) + 127) // 128 * 128
+    return knn.resident_fits(nc, cap_pad)
+
+
+def _kd_selection_applies(cfg: ICPConfig, capacity: int | None = None) -> bool:
     """Single source of truth for "the per-query kd path will run with this
-    selection config": sparse compacted random selection only. Every
-    runner (bench, CLI sweep, experiments) gates its kd build through
-    ``build_kd_for`` -> here, so the production matcher configuration
-    always equals the benchmarked one."""
+    selection config": any selection when the resident kernel applies
+    (``capacity`` known), sparse compacted random selection otherwise.
+    Every runner (bench, CLI sweep, experiments) gates its kd build
+    through ``build_kd_for`` -> here, so the production matcher
+    configuration always equals the benchmarked one."""
+    if capacity is not None and _kd_resident_will_run(cfg, capacity):
+        return True
     if cfg.selection not in (Selection.RANDOM, Selection.RANDOM_FAST):
         return False
     if cfg.selection_proba > KD_MAX_SELECTION_P:
@@ -670,14 +689,14 @@ def build_kd_for(
 
     Returns a ``kdtree.KDIndex`` over the target (or its 6-dim color
     features under color-ICP) when k-NN matching is configured, the cloud
-    is large enough to benefit, and selection is sparse (the regime where
-    per-query search beats the tile kernel); ``None`` otherwise. The
-    reference analog is the one-time FLANN buildIndex
-    (NearestNeighbor.h:122-141).
+    is large enough to benefit, and either the resident kernel applies
+    (any selection) or selection is sparse (the streaming kernels'
+    winning regime); ``None`` otherwise. The reference analog is the
+    one-time FLANN buildIndex (NearestNeighbor.h:122-141).
     """
     if cfg.matching != Matching.KNN:
         return None
-    if not _kd_selection_applies(cfg):
+    if not _kd_selection_applies(cfg, capacity=target.capacity):
         return None
     valid = np.asarray(jax.device_get(target.valid))
     if int(valid.sum()) < min_points:

@@ -220,6 +220,51 @@ class TestPipelineParity:
         assert np.array_equal(
             np.asarray(r1.trace.num_matches), np.asarray(r2.trace.num_matches))
 
+    def test_run_icp_dense_color_multires_kd(self):
+        """Dense (SELECT_ALL) color multires through the kd path — the
+        configuration the resident-kernel gate newly admits (bench config
+        4) — must match the non-kd run."""
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(-2, 2, (3000, 2))
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        tgt_np = np.column_stack([xy, z]).astype(np.float32)
+        col = np.clip(
+            127 + 120 * np.sin(3 * tgt_np[:, :1] + np.arange(4)), 0, 255
+        ).astype(np.float32)
+        src_np = (tgt_np + np.array([0.04, -0.02, 0.01], np.float32))
+        src = from_numpy(src_np, colors=col, morton_order=True)
+        tgt = from_numpy(tgt_np, colors=col, morton_order=True)
+        src = src._replace(
+            normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+        tgt = tgt._replace(
+            normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8, color_icp=True,
+            multi_resolution=True,
+        )
+        assert icp._kd_selection_applies(cfg, capacity=src.capacity)
+        kd = icp.build_kd_for(cfg, tgt, min_points=100)
+        assert kd is not None and kd.block_min.shape[1] == 6
+        kw = dict(
+            gt_source_points=tgt_np, gt_target_points=tgt_np,
+            gt_valid=np.ones(len(tgt_np), bool),
+            num_source_points=len(src_np),
+        )
+        r1 = icp.run_icp(cfg, src, tgt, **kw)
+        r2 = icp.run_icp(cfg, src, tgt, kd_index=kd, **kw)
+        np.testing.assert_allclose(
+            np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-5)
+        assert np.array_equal(
+            np.asarray(r1.trace.num_matches), np.asarray(r2.trace.num_matches))
+
     def test_run_icp_batch_kd(self):
         from icp_variants_tpu.core.cloud import from_numpy
         from icp_variants_tpu.pipeline import icp
@@ -279,9 +324,15 @@ class TestBuildKdFor:
         proj = ICPConfig(
             max_distance=1.0, matching=Matching.PROJECTIVE, **sparse)
         assert icp.build_kd_for(proj, small, min_points=100) is None
-        # dense selection: the radius-pruned tile kernel wins, no kd
+        # dense selection: the resident kernel handles it whenever the
+        # page table fits VMEM (coherent dense tiles have tiny unions), so
+        # the kd gate opens; when the table exceeds the resident budget
+        # the streaming union kernel would run and dense stays gated off.
         dense = ICPConfig(max_distance=1.0)
-        assert icp.build_kd_for(dense, small, min_points=100) is None
+        assert icp.build_kd_for(dense, small, min_points=100) is not None
+        assert icp._kd_selection_applies(dense, capacity=500)
+        huge_capacity = 64 * knn.RESIDENT_VMEM_BUDGET // 32  # ~8x the budget
+        assert not icp._kd_selection_applies(dense, capacity=huge_capacity)
 
     def test_color_features_dim(self):
         from icp_variants_tpu.core.cloud import from_numpy
