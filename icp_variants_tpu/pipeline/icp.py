@@ -545,7 +545,8 @@ def run_icp(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_iterations", "run_benchmark")
+    jax.jit,
+    static_argnames=("cfg", "num_iterations", "run_benchmark", "stop_after"),
 )
 def _run_icp_batch_jit(
     cfg: ICPConfig,
@@ -560,11 +561,12 @@ def _run_icp_batch_jit(
     gt_valid: jax.Array,    # (B, G)
     run_benchmark: bool,
     kd_indexes: kdtree.KDIndex | None = None,  # leading batch axis per leaf
+    stop_after: str | None = None,
 ) -> ICPResult:
     def one(source, target, pose0, key, gs, gtv_, gv, kd):
         return _run_icp_jit(
             cfg, num_iterations, source, target, pose0, strides, key,
-            gs, gtv_, gv, run_benchmark, kd_index=kd,
+            gs, gtv_, gv, run_benchmark, kd_index=kd, stop_after=stop_after,
         )
 
     return jax.vmap(one)(
@@ -586,6 +588,7 @@ def run_icp_batch(
     run_benchmark: bool = False,
     num_source_points: int | None = None,
     kd_indexes: kdtree.KDIndex | None = None,
+    stop_after: str | None = None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
@@ -627,6 +630,7 @@ def run_icp_batch(
         cfg, int(strides.shape[0]), sources, targets,
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
         gt_src, gt_tgt, gtv, run_benchmark, kd_indexes=kd_indexes,
+        stop_after=stop_after,
     )
 
 
