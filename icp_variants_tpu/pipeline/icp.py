@@ -127,18 +127,33 @@ def _probe_trace(probe: jax.Array) -> "ICPTrace":
     )
 
 
-def _compact_cloud(source: Cloud, sel_idx, sel_mask) -> Cloud:
+def _compact_cloud(
+    source: Cloud, sel_idx, sel_mask, need_colors: bool = True
+) -> Cloud:
     """Gather the compacted query cloud: masked rows' points become the pad
     sentinel (never match anything); normals/colors gather unmasked (their
-    consumers apply the mask)."""
+    consumers apply the mask). Row gathers are TPU issue-bound, so the
+    colors gather is skipped (zeros) when no color consumer is configured
+    — the batched stage probe put selection at 0.18 ms/pair/iter, ~11% of
+    the headline iteration (scripts/batched_stage_log.txt)."""
     return Cloud(
         points=jnp.where(
             sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
         ),
         normals=source.normals[sel_idx],
-        colors=source.colors[sel_idx],
+        colors=(
+            source.colors[sel_idx]
+            if need_colors
+            else jnp.zeros((sel_idx.shape[0], 4), source.colors.dtype)
+        ),
         valid=sel_mask,
     )
+
+
+def _needs_colors(cfg: ICPConfig) -> bool:
+    """Whether any pipeline stage reads per-match colors (the COLORS
+    weighting; color-ICP reads colors pre-compaction for the features)."""
+    return cfg.weighting == Weighting.COLORS or cfg.color_icp
 
 
 def _match_kd_stage(
@@ -252,7 +267,7 @@ def _iteration(
         else:
             residual = source.valid
         sel_mask = in_range & residual[sel_idx]
-        source = _compact_cloud(source, sel_idx, sel_mask)
+        source = _compact_cloud(source, sel_idx, sel_mask, _needs_colors(cfg))
     elif cfg.selection == Selection.RANDOM:
         sel_mask = selection.random_sampling(key, base_mask, cfg.selection_proba)
     elif cfg.selection == Selection.RANDOM_FAST:
@@ -264,7 +279,7 @@ def _iteration(
             key, source.capacity, n_draw, k_cap
         )
         sel_mask = sel_mask & base_mask[sel_idx]
-        source = _compact_cloud(source, sel_idx, sel_mask)
+        source = _compact_cloud(source, sel_idx, sel_mask, _needs_colors(cfg))
     else:
         sel_mask = selection.select_all(base_mask)
 
@@ -343,7 +358,11 @@ def _iteration(
         src_normals=src_nrm,
         tgt_normals=target.normals[idx],
         src_colors=source.colors,
-        tgt_colors=target.colors[idx],
+        tgt_colors=(
+            target.colors[idx]
+            if _needs_colors(cfg)
+            else jnp.zeros((idx.shape[0], 4), target.colors.dtype)
+        ),
         valid=valid,
     )
 
