@@ -619,26 +619,18 @@ def main():
     # matcher config; tests pin the equality). Since the geometric-gap
     # selection rewrite RANDOM is as fast as the RANDOM_FAST stratified
     # extension, so the headline carries no selection-mode asterisk.
-    # The warm-start match cache is a config knob: measure both warm and
-    # cold (union) arms and report the faster — identical results either
-    # way (exactness tests cover both), so the headline never regresses
-    # below the proven fallback config. NOTE the sweep-vs-bench
-    # discrepancy: the warm_ab_sweep harness (matcher-only scan) once
-    # measured warm ahead (12.7 vs 11.5, scripts/warm_ab_sweep_log.txt),
-    # but under THIS full bench program the cold arm has won every
-    # hardware run (11.62 vs 9.7-10.0 in r2/r3 logs) — the sweep excludes
-    # the per-iteration cache update + granule radius plumbing that the
-    # production scan pays. min(dt_warm, dt_cold) protects the headline.
+    # Warm start is regime-gated: OFF under sparse compacted selection
+    # (every hardware A/B since r2 measured warm slower there — 9.9 vs
+    # 12.35 pairs/s; the old bench ran both arms and reported the min),
+    # ON for dense SELECT_ALL where it wins (TUM color tracker 3.29 vs
+    # 3.52 s/frame). The production default IS the measured winner in
+    # both regimes now (pipeline/icp._warm_applies), so the headline
+    # measures the one production configuration; a forced-warm arm stays
+    # measurable via scripts/warm_ab_sweep.py.
     state = prepare_host_state(pairs)
-    dt_warm = bench_tpu(pairs, Selection.RANDOM, state=state)
-    dt_cold = bench_tpu(
-        pairs, Selection.RANDOM, kd_warm_start=False, state=state
-    )
-    dt_tpu = min(dt_warm, dt_cold)
-    warm_won = dt_warm <= dt_cold
-    dt_fast = bench_tpu(
-        pairs, Selection.RANDOM_FAST, kd_warm_start=warm_won, state=state,
-    )
+    dt_cold = bench_tpu(pairs, Selection.RANDOM, state=state)
+    dt_tpu = dt_cold
+    dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST, state=state)
     # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
     # FASTEST run (strongest baseline => conservative vs_baseline).
     src_pts, _, tgt_pts, _ = pairs[0]
@@ -653,8 +645,9 @@ def main():
         "reference-exact Bernoulli selection)",
         "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
         "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
-        "warm_matcher_pairs_per_sec": round(1.0 / dt_warm, 4),
         "cold_matcher_pairs_per_sec": round(1.0 / dt_cold, 4),
+        "warm_start": "regime-gated: dense selection only "
+        "(ICPConfig.kd_warm_start)",
         "distinct_pairs_per_batch": BATCH_PAIRS,
     }
 

@@ -280,7 +280,7 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
             # shard_map.
             cache0 = (
                 sv[:: cfg.kd_warm_granule].astype(jnp.int32) * 0 - 1
-                if kd is not None and cfg.kd_warm_start
+                if kd is not None and icp._warm_applies(cfg)
                 else None
             )
 

@@ -101,10 +101,17 @@ class ICPConfig:
 
     # Warm-start kd matching: carry each source row's last match through
     # the scan and search within the exact distance to it (an upper bound
-    # on the NN distance, so results are identical). Collapses the per-
-    # iteration candidate set after iteration 1; only active on the kd
-    # matching path. A TPU-native capability with no reference analog
-    # (FLANN queries are stateless, NearestNeighbor.h:160-186).
+    # on the NN distance, so results are identical). Only active on the
+    # kd matching path, and only WHERE IT WINS: dense (SELECT_ALL)
+    # selection, where every row re-seeds its own cache slot each
+    # iteration (measured 3.29 vs 3.52 s/frame on the TUM color tracker).
+    # Under sparse compacted selection the granule cache dilutes and warm
+    # LOSES (9.9 vs 12.35 pairs/s on the ETH headline, every hardware
+    # A/B since r2) — there the scan runs the cold resident/union matcher
+    # regardless of this flag (pipeline/icp._warm_applies), keeping the
+    # production default equal to the measured winner in BOTH regimes.
+    # A TPU-native capability with no reference analog (FLANN queries
+    # are stateless, NearestNeighbor.h:160-186).
     kd_warm_start: bool = True
     # Warm cache granularity: one slot per `granule` Morton-consecutive
     # source rows. Any granule-mate's match is a valid radius bound (it is

@@ -150,6 +150,14 @@ def _compact_cloud(
     )
 
 
+def _warm_applies(cfg: ICPConfig) -> bool:
+    """Whether warm-start kd matching is profitable for this selection
+    regime: dense SELECT_ALL only (see ICPConfig.kd_warm_start — sparse
+    compacted selection measured slower warm than cold in every hardware
+    A/B, dense measured faster)."""
+    return cfg.kd_warm_start and cfg.selection == Selection.ALL
+
+
 def _needs_colors(cfg: ICPConfig) -> bool:
     """Whether any pipeline stage reads per-match colors (the COLORS
     weighting; color-ICP reads colors pre-compaction for the features)."""
@@ -456,7 +464,7 @@ def _run_icp_jit(
     # Warm-start match cache: one slot per source-row granule, carried
     # through the scan (None — an empty pytree — when warm start is off).
     cache0 = None
-    if kd_index is not None and cfg.kd_warm_start:
+    if kd_index is not None and _warm_applies(cfg):
         n_granules = -(-source.points.shape[0] // cfg.kd_warm_granule)
         cache0 = jnp.full((n_granules,), -1, jnp.int32)
 

@@ -619,11 +619,16 @@ class TestWarmStart:
         target = from_numpy(t, normals=nrm, morton_order=True)
         kd = kdtree.build_kd_index(np.asarray(target.points),
                                    np.asarray(target.valid))
+        # Dense SELECT_ALL: the regime where warm start APPLIES (it is
+        # gated off for sparse selection, where every hardware A/B since
+        # r2 measured it slower — see ICPConfig.kd_warm_start).
         base = ICPConfig(
             metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
-            selection=Selection.RANDOM, selection_proba=0.05,
             n_iterations=8, max_distance=4.0,
         )
+        assert icp._warm_applies(base)
+        assert not icp._warm_applies(
+            base.replace(selection=Selection.RANDOM, selection_proba=0.05))
         key = jax.random.PRNGKey(3)
         res_w = icp.run_icp(base.replace(kd_warm_start=True), source, target,
                             key=key, kd_index=kd)
