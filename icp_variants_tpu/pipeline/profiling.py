@@ -376,7 +376,14 @@ def matcher_work_model(
             visited * cap_pad * tq * (3 * d + 2)   # kernel distances
             + nq * nc * (3 * d + 2)                # prefix lb pass (VMEM)
         )
-        kind = "warm" if cfg.kd_warm_start else "union"
+        from icp_variants_tpu.pipeline.icp import _warm_applies
+
+        if _warm_applies(cfg):
+            kind = "warm"
+        elif knn.resident_fits(nc, cap_pad):
+            kind = "resident"
+        else:
+            kind = "union"
         matcher_line = (
             f"  kd {kind} matcher: {visited} member blocks/iter "
             f"({visited / max(nqt, 1):.1f}/tile of {nc}): "
