@@ -632,9 +632,16 @@ def nn_search_kd_radius(
     beats their radius return idx -1 with d2 equal to the initial bound —
     the caller backstops those with the cached match.
     """
+    from icp_variants_tpu.ops import knn
+
+    impl = (
+        "resident"
+        if knn.resident_fits(index.pages.shape[0], index.pages.shape[2])
+        else "bitmap"
+    )
     idx, d2, _resid = _kd_bitmap_search(
         queries, index, float(max_distance), radius,
-        k=0, tile_q=tile_q, chunk=chunk, interpret=interpret,
+        k=0, tile_q=tile_q, chunk=chunk, interpret=interpret, impl=impl,
     )
     return idx, d2
 
@@ -697,12 +704,19 @@ def nn_search_kd_warm(
     has lb > radius >= the found distance, so it cannot improve the
     result; the certificate covers everything else.
     """
+    from icp_variants_tpu.ops import knn
+
     nc = index.pages.shape[0]
     k = min(K_DEFAULT if k is None else k, nc)
+    impl = (
+        "resident"
+        if knn.resident_fits(nc, index.pages.shape[2])
+        else "bitmap"
+    )
     idx, d2, resid = _kd_bitmap_search(
         queries, index, float(max_distance), radius,
         k=k, tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
-        chunk=chunk, interpret=interpret,
+        chunk=chunk, interpret=interpret, impl=impl,
     )
     fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
     return idx, d2, fail
