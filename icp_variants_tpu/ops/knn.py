@@ -1288,7 +1288,10 @@ def _make_resident_kernel(
                           # pairs, flat (2-D SMEM operands lane-pad to 128)
         code_ref,         # (B*nqt, 8, nc_pad) int32 HBM: row 0 = tag|lbq
                           # codes (unused here), row 1 = membership masks
-        t_ref,            # (B*nc_real, 8, tile_t) pages in HBM
+        t_ref,            # (B*nc_real*8, tile_t) pages in HBM, FLAT 2-D:
+                          # each copy stream is one contiguous region (the
+                          # 3-D layout split the bulk copy into per-block
+                          # descriptors)
         q_ref,            # (tile_q, FEATURE_PAD) VMEM
         binit_ref,        # (tile_q, 1) VMEM per-query initial bound
         dist_ref,         # out (tile_q, 1)
@@ -1296,7 +1299,7 @@ def _make_resident_kernel(
         vcode_ref,        # SMEM (8, nc_pad) int32: code/mask rows landing
         vids_ref,         # SMEM (n_gate, nc_pad) int32: per-gate
                           #   compacted member-id lists
-        vpages_ref,       # VMEM (nc_real, 8, tile_t): THE resident pages
+        vpages_ref,       # VMEM (nc_real*8, tile_t): THE resident pages
         code_sem,
         page_sems,        # DMA (n_streams,)
     ):
@@ -1308,8 +1311,8 @@ def _make_resident_kernel(
             lo = k * nc_stream
             n = min(nc_stream, nc_real - k * nc_stream)
             return pltpu.make_async_copy(
-                t_ref.at[pl.ds(b * nc_real + lo, n)],
-                vpages_ref.at[pl.ds(lo, n)],
+                t_ref.at[pl.ds((b * nc_real + lo) * 8, n * 8)],
+                vpages_ref.at[pl.ds(lo * 8, n * 8)],
                 page_sems.at[k],
             )
 
@@ -1369,7 +1372,7 @@ def _make_resident_kernel(
             def body(k, carry, g=g, qg=qg):
                 dist, idx = carry
                 block_id = vids_ref[g, k]
-                t = vpages_ref[block_id]                # (8, tile_t)
+                t = vpages_ref[pl.ds(block_id * 8, 8), :]   # (8, tile_t)
                 d2 = (qg[0] - t[0:1, :]) ** 2
                 for c in range(1, n_features):
                     d2 = d2 + (qg[c] - t[c:c + 1, :]) ** 2
@@ -1469,7 +1472,7 @@ def _run_resident_kernel_flat(
         scratch_shapes=[
             pltpu.SMEM((8, nc_pad), jnp.int32),
             pltpu.SMEM((max(tile_q // gate_width, 2), nc_pad), jnp.int32),
-            pltpu.VMEM((nc, 8, tile_t), jnp.float32),
+            pltpu.VMEM((nc * 8, tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -1488,7 +1491,7 @@ def _run_resident_kernel_flat(
     )(
         ranges,
         code8,
-        pages.reshape(b * nc, 8, tile_t),
+        pages.reshape(b * nc * 8, tile_t),
         q.reshape(b * nq_pad, f),
         binit.reshape(b * nq_pad, 1),
     )
