@@ -573,6 +573,12 @@ def _kd_bitmap_search(
         (0, q.shape[0] - nq),
         constant_values=-1.0,
     )
+    if tile_q > 32 * _SG_WIDTH:
+        raise ValueError(
+            f"tile_q={tile_q}: the per-subgroup membership mask packs "
+            f"tile_q/{_SG_WIDTH} bits into int32 words — 256 is the "
+            "maximum (tile_q=512 measured silently dropping memberships)"
+        )
     member, hot, lb_tile, resid, submask = _radius_prefix(
         q, binit, index, tile_q=tile_q, k=k, interpret=interpret
     )

@@ -1296,16 +1296,24 @@ def _make_resident_kernel(
         binit_ref,        # (tile_q, 1) VMEM per-query initial bound
         dist_ref,         # out (tile_q, 1)
         idx_ref,          # out (tile_q, 1)
-        vcode_ref,        # SMEM (8, nc_pad) int32: code/mask rows landing
+        vcode_ref,        # SMEM (2, 8, nc_pad) int32: DOUBLE-BUFFERED
+                          #   code/mask landings — the code DMA for step
+                          #   p+1 starts during step p, so its latency
+                          #   never sits on the critical path (a start+
+                          #   wait in the same step cost ~5 us/step,
+                          #   which DOMINATED dense workloads: 19200
+                          #   steps at TUM shapes = ~96 of the 101
+                          #   ms/frame/iter, scripts/color_kernel_probe)
         vids_ref,         # SMEM (n_gate, nc_pad) int32: per-gate
                           #   compacted member-id lists
         vpages_ref,       # VMEM (nc_real*8, tile_t): THE resident pages
-        code_sem,
+        code_sems,        # DMA (2,)
         page_sems,        # DMA (n_streams,)
     ):
         b = pl.program_id(0)
         i = pl.program_id(1)
         p = b * nqt + i
+        p_last = code_ref.shape[0] - 1
 
         def page_dma(k):
             lo = k * nc_stream
@@ -1324,12 +1332,26 @@ def _make_resident_kernel(
             for k in range(n_streams):
                 page_dma(k).start()
 
-        code_dma = pltpu.make_async_copy(code_ref.at[p], vcode_ref, code_sem)
-        code_dma.start()
+        def code_dma(step):
+            slot = jax.lax.rem(step, 2)
+            return pltpu.make_async_copy(
+                code_ref.at[step], vcode_ref.at[slot], code_sems.at[slot]
+            )
+
+        # Grid steps run in flat p order (tile axis innermost), so step
+        # p prefetches step p+1's code row; the first step self-starts.
+        @pl.when(p == 0)
+        def _():
+            code_dma(0).start()
+
+        @pl.when(p < p_last)
+        def _():
+            code_dma(p + 1).start()
 
         # dist/idx are fully written by the per-gate loops below (their
         # carries start from binit / -1), so no output pre-init is needed.
-        code_dma.wait()
+        code_dma(p).wait()
+        cslot = jax.lax.rem(p, 2)
 
         # Per-GATE compaction walk: one member-id list per gate group, so
         # the compute loops below are branch-free (a conditional vector
@@ -1338,7 +1360,7 @@ def _make_resident_kernel(
         # the previous tiles' vector compute across grid steps and is
         # ~free, probe logs).
         def walk(j, counts):
-            msk = vcode_ref[1, j]
+            msk = vcode_ref[cslot, 1, j]
             jc = jnp.minimum(j, nc_real - 1)
             out = []
             for g in range(n_gate):
@@ -1470,10 +1492,10 @@ def _run_resident_kernel_flat(
             ),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, nc_pad), jnp.int32),
+            pltpu.SMEM((2, 8, nc_pad), jnp.int32),
             pltpu.SMEM((max(tile_q // gate_width, 2), nc_pad), jnp.int32),
             pltpu.VMEM((nc * 8, tile_t), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
