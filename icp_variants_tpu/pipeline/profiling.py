@@ -17,6 +17,7 @@ so two complementary tools are provided:
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -35,7 +36,8 @@ from icp_variants_tpu.pipeline.icp import _solve
 @dataclass
 class StageTimes:
     """Mirror of the reference's six accumulators (TimeMeasure.h:20-26),
-    in seconds, averaged over repetitions."""
+    in seconds (eager harness: mean over repetitions; fused harness: min
+    over repetitions — contention-robust for differencing)."""
 
     selection: float = 0.0
     matching: float = 0.0
@@ -251,10 +253,16 @@ def profile_fused_stages(
     totals = {}
     for stage in _STAGES:
         run_variant(stage)  # compile + warm
-        t0 = time.perf_counter()
+        # MIN over repetitions, not mean: stage attribution differences
+        # runs taken at different times, so one contention spike on a
+        # shared host inflates a single stage's diff; the min is the
+        # contention-robust estimator for a fixed-work program.
+        best = math.inf
         for _ in range(repetitions):
+            t0 = time.perf_counter()
             run_variant(stage)
-        totals[stage] = (time.perf_counter() - t0) / repetitions
+            best = min(best, time.perf_counter() - t0)
+        totals[stage] = best
 
     n_iter = int(
         cloud_lib.multires_stride_schedule(
