@@ -681,15 +681,21 @@ def main():
     if "tum_projective" in sections or "color_multires" in sections:
         tum_state = prepare_tum_state()
 
+        # Best-of-2 on these proxies too (same protocol as the ETH ones):
+        # a contention spike on the shared host slows a single-run proxy
+        # and inflates vs_baseline — the proxy's FASTEST run is the
+        # conservative baseline.
         def _tum_projective():
             dt_p = bench_tum_projective(tum_state)
-            dt_pc = bench_cpu_proxy_projective(tum_state)
+            dt_pc = min(bench_cpu_proxy_projective(tum_state) for _ in range(2))
             out["tum_projective_frames_per_sec"] = round(1.0 / dt_p, 4)
             out["tum_projective_vs_baseline"] = round(dt_pc / dt_p, 3)
 
         def _color_multires():
             dt_m = bench_color_multires(tum_state)
-            dt_mc = bench_cpu_proxy_color_multires(tum_state)
+            dt_mc = min(
+                bench_cpu_proxy_color_multires(tum_state) for _ in range(2)
+            )
             out["color_multires_frames_per_sec"] = round(1.0 / dt_m, 4)
             out["color_multires_vs_baseline"] = round(dt_mc / dt_m, 3)
 
