@@ -11,6 +11,16 @@ Eigen solve on a multicore CPU (SURVEY §3.3); we time the equivalent scipy
 cKDTree build + 50 query rounds + numpy normal-equation solves on this
 host's CPU and report vs_baseline = ours / proxy.
 
+The proxy runs on a SHARED host, so its time swings ~25% with load — which
+made vs_baseline a lottery (r3: 6.68x vs 8.4x on identical device
+throughput). The denominator of record is therefore PINNED: each config's
+fastest-ever proxy seconds live in BASELINE.json["pinned_proxy"]
+(scripts/pin_proxy_baseline.py, min-merged across runs — the fastest proxy
+is the strongest baseline, hence the most conservative ratio). Each run
+still measures a fresh proxy: it is reported for drift detection, and if
+it beats the pin it becomes the denominator (min), so contention can never
+INFLATE vs_baseline, only new evidence can tighten it.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -553,6 +563,32 @@ def bench_cpu_proxy_color_multires(state):
     return time.perf_counter() - t0
 
 
+def load_pinned_proxy():
+    """Pinned (fastest-ever) CPU-proxy seconds per config from
+    BASELINE.json — the stable vs_baseline denominators (see module
+    docstring). Missing file/key degrades to fresh-proxy-only."""
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parent / "BASELINE.json"
+    try:
+        return json.loads(path.read_text()).get("pinned_proxy", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def proxy_denominator(pins, key, fresh, out, label):
+    """Resolve the vs_baseline denominator for one config: the pinned
+    proxy seconds unless the fresh measurement is even faster (min —
+    host contention can only loosen a fresh proxy, never tighten it).
+    Records both in the output dict for drift visibility."""
+    pinned = pins.get(key)
+    out[f"{label}_fresh_proxy_s"] = round(fresh, 4)
+    if pinned is None:
+        return fresh
+    out[f"{label}_pinned_proxy_s"] = pinned
+    return min(fresh, pinned)
+
+
 def wait_for_backend(budget_s: float) -> bool:
     """The tunneled TPU backend periodically dies (relay ports closed) and a
     dead backend HANGS jax init forever — probe it in a subprocess under a
@@ -631,25 +667,27 @@ def main():
     dt_cold = bench_tpu(pairs, Selection.RANDOM, state=state)
     dt_tpu = dt_cold
     dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST, state=state)
-    # Best-of-2 for the CPU proxy: the host is shared, so take the proxy's
-    # FASTEST run (strongest baseline => conservative vs_baseline).
+    # Fresh best-of-2 CPU proxy (drift detection + possible pin tightening);
+    # the denominator of record is the PIN (module docstring).
     src_pts, _, tgt_pts, _ = pairs[0]
     dt_cpu = min(bench_cpu_proxy(src_pts, tgt_pts) for _ in range(2))
 
+    pins = load_pinned_proxy()
     pairs_per_sec = 1.0 / dt_tpu
-    baseline_pairs_per_sec = 1.0 / dt_cpu
     out = {
         "metric": "eth_scale_scan_pairs_per_sec_chip",
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
         "reference-exact Bernoulli selection)",
-        "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
         "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
         "cold_matcher_pairs_per_sec": round(1.0 / dt_cold, 4),
         "warm_start": "regime-gated: dense selection only "
         "(ICPConfig.kd_warm_start)",
         "distinct_pairs_per_batch": BATCH_PAIRS,
     }
+    denom = proxy_denominator(
+        pins, "eth_proxy_seconds_per_pair", dt_cpu, out, "eth")
+    out["vs_baseline"] = round(denom / dt_tpu, 3)
 
     # Secondary sections are fault-contained: one section failing (e.g. a
     # first-time compile tripping a VMEM limit) must not cost the headline
@@ -672,8 +710,11 @@ def main():
         )
         isrc, _, itgt, _ = ipairs[0]
         dt_icpu = min(bench_cpu_proxy(isrc, itgt) for _ in range(2))
+        denom_i = proxy_denominator(
+            pins, "eth_indoor_proxy_seconds_per_pair", dt_icpu, out,
+            "eth_indoor")
         out["eth_indoor_pairs_per_sec"] = round(1.0 / min(dt_iw, dt_ic), 4)
-        out["eth_indoor_vs_baseline"] = round(dt_icpu / min(dt_iw, dt_ic), 3)
+        out["eth_indoor_vs_baseline"] = round(denom_i / min(dt_iw, dt_ic), 3)
 
     if "eth_indoor" in sections:
         section("eth_indoor", _eth_indoor)
@@ -688,16 +729,22 @@ def main():
         def _tum_projective():
             dt_p = bench_tum_projective(tum_state)
             dt_pc = min(bench_cpu_proxy_projective(tum_state) for _ in range(2))
+            denom_p = proxy_denominator(
+                pins, "tum_projective_proxy_seconds_per_frame", dt_pc, out,
+                "tum_projective")
             out["tum_projective_frames_per_sec"] = round(1.0 / dt_p, 4)
-            out["tum_projective_vs_baseline"] = round(dt_pc / dt_p, 3)
+            out["tum_projective_vs_baseline"] = round(denom_p / dt_p, 3)
 
         def _color_multires():
             dt_m = bench_color_multires(tum_state)
             dt_mc = min(
                 bench_cpu_proxy_color_multires(tum_state) for _ in range(2)
             )
+            denom_m = proxy_denominator(
+                pins, "color_multires_proxy_seconds_per_frame", dt_mc, out,
+                "color_multires")
             out["color_multires_frames_per_sec"] = round(1.0 / dt_m, 4)
-            out["color_multires_vs_baseline"] = round(dt_mc / dt_m, 3)
+            out["color_multires_vs_baseline"] = round(denom_m / dt_m, 3)
 
         if "tum_projective" in sections:
             section("tum_projective", _tum_projective)

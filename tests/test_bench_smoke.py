@@ -56,6 +56,27 @@ def test_dead_backend_reports_instead_of_hanging(monkeypatch, capsys):
     assert out["metric"] == "eth_scale_scan_pairs_per_sec_chip"
 
 
+def test_pinned_proxy_denominator():
+    """vs_baseline divides by the PINNED proxy (BASELINE.json) unless the
+    fresh proxy is even faster — host contention must never inflate the
+    ratio (VERDICT r3: 6.68x vs 8.4x on identical device throughput was
+    pure proxy variance)."""
+    pins = bench.load_pinned_proxy()
+    assert "eth_proxy_seconds_per_pair" in pins
+    pin = pins["eth_proxy_seconds_per_pair"]
+    out = {}
+    # Contention-slowed fresh proxy: the pin wins.
+    assert bench.proxy_denominator(
+        pins, "eth_proxy_seconds_per_pair", pin * 2, out, "eth") == pin
+    assert out["eth_fresh_proxy_s"] == round(pin * 2, 4)
+    assert out["eth_pinned_proxy_s"] == pin
+    # Quieter-than-ever fresh proxy: tightens the denominator.
+    assert bench.proxy_denominator(
+        pins, "eth_proxy_seconds_per_pair", pin / 2, out, "eth") == pin / 2
+    # Unknown config degrades to the fresh measurement.
+    assert bench.proxy_denominator(pins, "nope", 1.23, out, "x") == 1.23
+
+
 def test_cpu_proxy_runs():
     src, _ = bench.synth_cloud(2000, 0)
     tgt, _ = bench.synth_cloud(2000, 1)
