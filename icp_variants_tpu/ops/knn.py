@@ -1,25 +1,42 @@
-"""Nearest-neighbor correspondence search — tiled brute force on the MXU.
+"""Nearest-neighbor correspondence search — Pallas kernels on the VPU.
 
 TPU-native replacement for the FLANN kd-tree matcher
 (NearestNeighbor.h:104-314, both the 3-dim geometric and the 6-dim color-ICP
-variants). kd-trees are pointer-chasing machines and map terribly onto a
-systolic array; at scan-registration sizes a tiled brute-force search that
-expands ``|q - t|^2 = |q|^2 + |t|^2 - 2 q.t`` and rides the MXU for the
-``q @ t^T`` term is both exact (no FLANN "16 checks" approximation) and
-faster per chip.
+variants), EXACT within the matching threshold (the reference's FLANN search
+is 16-check approximate; exactness-vs-scipy is this framework's invariant,
+pinned by tests/test_kdtree.py and test_knn.py).
 
-Two interchangeable implementations:
+Shipped design (the production hierarchy, fastest first):
 
-* :func:`nn_search_xla` — pure jax.numpy, chunked ``lax.map``; runs anywhere
-  (the CPU test mesh) and is the correctness oracle.
-* :func:`nn_search_pallas` — the Pallas kernel: grid over (query tiles x
-  target tiles), running (min, argmin) accumulated in VMEM across the target
-  axis.
+* **Resident-VMEM kernel** (``_make_resident_kernel``): the target's kd
+  page table (blocks x 8 rows x lanes) is DMA'd ONCE into persistent VMEM
+  scratch; each query tile walks only its member (query-tile, block) regions
+  — per-query top-K block membership intersected with the search radii,
+  computed by the fused prefix kernel in ``ops/kdtree.py`` — and evaluates
+  **direct-difference** distances ``sum((q - t)^2)`` on the VPU with a
+  running (min, argmin). Gating granularity 64 rows (measured optimum:
+  finer regions pay ~0.1-0.2 us of per-region issue cost each).
+* **Bitmap/visited-list kernels** (``_make_bitmap_kernel`` / the v2
+  visited-list path): for tables too large to reside, membership bitmaps are
+  compacted on the scalar core and member pages stream through
+  double-buffered chunk DMA.
+* :func:`nn_search_xla` / :func:`nn_search_pallas` — the dense brute-force
+  pair: correctness oracle (runs on the CPU test mesh) and the non-indexed
+  fallback.
 
-Both return, per query row, the index of the closest target and the squared
-distance. Thresholding (``dist2 <= max_distance``, matching the squared
-comparison at NearestNeighbor.h:182) is left to the caller so the same
-search result can be re-thresholded per pyramid level.
+Why NOT the MXU: the ``|q|^2 + |t|^2 - 2 q.t`` expansion rides the systolic
+array but catastrophically cancels in f32 at ETH's ~20 m scene scale,
+flipping near-tie 1-NN winners unless run at HIGHEST (multi-pass) precision
+— measured 7.5 ms vs 4.3 ms per bench call before it was rejected
+(ROADMAP.md "Measured roofline"). Direct-difference VPU distances are
+exact at DEFAULT precision and the gated candidate sets run at ~60% of VPU
+f32 speed-of-light; the MXU is reserved for the prefix kernel's 0/1
+submask packing, where bf16 passes ARE exact.
+
+All matchers return, per query row, the index of the closest target and the
+squared distance. Thresholding (``dist2 <= max_distance``, matching the
+squared comparison at NearestNeighbor.h:182) is left to the caller so the
+same search result can be re-thresholded per pyramid level.
 
 Invalid / padded target rows are expected to carry ``cloud.PAD_SENTINEL``
 coordinates, which keeps every lane finite (no NaN poisoning) while making

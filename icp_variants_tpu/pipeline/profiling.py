@@ -237,6 +237,11 @@ def profile_fused_stages(
     """
     from icp_variants_tpu.pipeline import icp as icp_mod
 
+    if repetitions < 1:
+        raise ValueError(
+            f"repetitions must be >= 1, got {repetitions} (0 would yield "
+            "inf stage totals from the min-estimator)"
+        )
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -474,12 +479,18 @@ def kernel_efficiency(
                 "differencing resolution (kernel fully hidden/fused)"
             )
         bw, fl = nbytes / t, flops / t
-        return (
+        line = (
             f"    achieved {bw / 1e9:7.1f} GB/s "
             f"({100 * bw / PEAK_HBM_BYTES:5.1f}% HBM peak), "
             f"{fl / 1e12:6.2f} TFLOP/s "
             f"({100 * fl / PEAK_F32_FLOPS:5.1f}% MXU f32 peak)"
         )
+        if bw > PEAK_HBM_BYTES or fl > PEAK_F32_FLOPS:
+            # The min-over-reps stage differencing can understate a stage's
+            # time (mins of independent runs drop different noise), so
+            # modeled-work / measured-time can exceed peak.
+            line += " [>100%: min-estimator understated the stage time]"
+        return line
 
     lines = [
         "Kernel efficiency — times MEASURED (stop-after differencing of the",

@@ -48,6 +48,14 @@ class TestProfiling:
                      + times.rejection + times.solver + times.convergence)
             if total * times.n_iterations <= times.full_run * 1.5 + 0.05:
                 break
+            # Visible in CI output on retry so a consistently-near-threshold
+            # regression is distinguishable from a one-off contention spike
+            # (the 3 attempts make this effectively best-of-6 otherwise).
+            print(
+                f"fused-stage accounting attempt {attempt}: stage sum "
+                f"{total:.4f} x {times.n_iterations} vs full_run "
+                f"{times.full_run:.4f} — retrying"
+            )
         else:
             raise AssertionError(
                 f"stage sum {total:.4f}x{times.n_iterations} exceeds "
