@@ -225,7 +225,7 @@ def bench_tpu(pairs, selection, use_kd=True, state=None, **overrides):
     ``use_kd`` matches through the per-query k-d index (v3) instead of the
     tile visited-list kernel alone: 10.6 vs 8.3 pairs/s once the block
     gathers lower FLAT under the pair vmap and the exactness fallback
-    hides behind a batch-global cond (scripts/bench_ab_kd_log.txt).
+    hides behind a batch-global cond (scripts/evidence/bench_ab_kd_log.txt).
     ``overrides`` replace ICPConfig fields for A/B arms (kd_warm_start
     etc.). ``state`` (prepare_host_state) shares the host-side builds
     across calls; built on demand when omitted."""
@@ -254,7 +254,7 @@ def bench_tpu(pairs, selection, use_kd=True, state=None, **overrides):
     run(0)  # warm: the first post-compile dispatch can hit tunnel queueing
     # Best of two timed blocks: the tunneled backend occasionally stalls a
     # block by ~20% (queue variance); the faster block reflects device
-    # throughput (measured spread in scripts/headline_variance_log.txt).
+    # throughput (measured spread in scripts/evidence/headline_variance_log.txt).
     best = float("inf")
     for block in range(2):
         t0 = time.perf_counter()

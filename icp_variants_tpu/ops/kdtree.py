@@ -193,8 +193,8 @@ def stack_kd_indexes(indexes) -> KDIndex:
 # blocks) lived here through rounds 2-3. It LOST on hardware in every
 # matcher configuration — warm 9.2 vs 12.7 pairs/s (it scatters the
 # per-granule warm radii), union 7.7 vs 11.5 — and was deleted; the
-# measurement evidence is scripts/warm_ab_sweep_log.txt and
-# scripts/warm_ab_sweep2_log.txt.
+# measurement evidence is scripts/evidence/warm_ab_sweep_log.txt and
+# scripts/evidence/warm_ab_sweep2_log.txt.
 
 
 @jax.custom_batching.custom_vmap
@@ -204,7 +204,7 @@ def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     The custom batch rule keeps the gather FLAT under ``vmap`` (one global
     row id space with per-pair offsets) instead of XLA's batch_dims=1
     lowering, which costs ~35% more on TPU at bench shapes
-    (scripts/kd_batch_probe_log.txt: 33.8 vs 25.0 ms over 16 pairs).
+    (scripts/evidence/kd_batch_probe_log.txt: 33.8 vs 25.0 ms over 16 pairs).
     """
     return table[ids]
 
@@ -401,7 +401,7 @@ _SG_WIDTH = 8
 def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
     """Fused membership/ordering prefix for the bitmap search: per-query
     box lower bounds live only in VMEM (the (Nq, nc) lb matrix in HBM was
-    ~half the XLA matcher's cost — scripts/warm_stage_log.txt), reduced in
+    ~half the XLA matcher's cost — scripts/evidence/warm_stage_log.txt), reduced in
     place to the per-tile quantities the bitmap kernel needs. Each grid
     step handles ``_PREFIX_GROUP`` query tiles so the output block is a
     legal (8, nc) page.
@@ -584,7 +584,7 @@ def _kd_bitmap_search(
     )
     # No XLA-side lb ordering: the list construction (two 512-lane
     # scatters + cummin per tile) cost ~half the matcher
-    # (scripts/warm_stage_log.txt). The bitmap kernel compacts hot/cold
+    # (scripts/evidence/warm_stage_log.txt). The bitmap kernel compacts hot/cold
     # memberships on its scalar core, gates the distance compute per
     # (subgroup, block) on the prefix's membership bits, and prunes the
     # cold tail with per-subgroup frozen bounds read after the hot phase.
@@ -953,7 +953,7 @@ def match_kd(
     if impl == "v2" and knn.resident_fits(*index.pages.shape[::2]):
         # Production when the pair's page table fits VMEM: the resident
         # kernel (measured 1.17 vs the union's 1.46 ms/pair/iter at bench
-        # shapes, scripts/resident_bench_log.txt) — zero per-block DMA,
+        # shapes, scripts/evidence/resident_bench_log.txt) — zero per-block DMA,
         # per-gate compute gating, list construction in the prefix kernel.
         idx3, d23, fail = nn_search_kd_resident(
             queries, index, max_distance, k=k, interpret=interpret

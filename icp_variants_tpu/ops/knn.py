@@ -839,7 +839,7 @@ _LBQ_BITS = 20
 # per SG_WIDTH-row subgroup so each distance pass touches only the
 # (subgroup, block) pairs some subgroup query actually needs — the
 # tile-level union costs 5-7x the subgroup information floor at bench
-# shapes (scripts/subgroup_union_log.txt). 8 = the f32 sublane count, so
+# shapes (scripts/evidence/subgroup_union_log.txt). 8 = the f32 sublane count, so
 # a subgroup's query rows are one native (8, lane) slice.
 SG_WIDTH = 8
 
@@ -851,7 +851,7 @@ def _make_bitmap_kernel(
     """Bitmap-walk variant of the visited-list kernel for the warm-start
     radius search. Instead of consuming lists pre-sorted on the XLA side —
     whose construction (two 512-lane scatters + cummin per tile) cost
-    ~0.45 ms/pair, ~half the warm matcher (scripts/warm_stage_log.txt) —
+    ~0.45 ms/pair, ~half the warm matcher (scripts/evidence/warm_stage_log.txt) —
     each grid step receives one packed CODE row per query tile
     (0 = non-member, tag 1 = hot: block contains a live query, tag 2 =
     cold, with the block's quantized per-tile lower bound in the upper
@@ -883,7 +883,7 @@ def _make_bitmap_kernel(
     per-subgroup membership bits (code row 1) — a block is evaluated only
     against the subgroups whose queries have it in their hit set, cutting
     the VPU work ~5-7x vs the tile-level union
-    (scripts/subgroup_union_log.txt). Exactness is untouched: gating only
+    (scripts/evidence/subgroup_union_log.txt). Exactness is untouched: gating only
     removes (query, block) pairs OUTSIDE the query's membership set, which
     the tile-level scheme evaluated as harmless extras. Cold computes are
     additionally pruned per subgroup with frozen per-subgroup bounds
@@ -1254,7 +1254,7 @@ def _run_bitmap_kernel(
 # finally pays.
 RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
 # Gating granularity (query rows per conditional region) of the resident
-# kernel. Hardware sweep at bench shapes (scripts/resident_bench_log.txt,
+# kernel. Hardware sweep at bench shapes (scripts/evidence/resident_bench_log.txt,
 # ms/pair/iter): 128 -> 2.26, 64 -> 1.17, 32 -> 1.22, 16 -> 1.44,
 # 8 -> 1.77 — the scalar-branch overhead per (gate, block) region beats
 # the VPU savings below 64 rows.
@@ -1288,7 +1288,7 @@ def _make_resident_kernel(
     predicated on the OR of its SG_WIDTH-wide membership bits. Fine gates
     skip more VPU work but pay a scalar-branch overhead per
     (gate, block) — the width trades the two (hardware-swept in
-    scripts/resident_bench_log.txt).
+    scripts/evidence/resident_bench_log.txt).
 
     ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = span
     scan without distance compute, 2 = also skip the span scan (copy +

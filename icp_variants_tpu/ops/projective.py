@@ -15,7 +15,7 @@ block's pixels); each query gathers only the ``nb x nb`` block neighborhood
 pixel rows — and candidates outside the exact window are masked per pixel
 from their reconstructed coordinates. This replaced a row-of-window
 ``lax.fori_loop`` formulation that spent ~355 ms/iter at 640x480 on gather
-issue overhead (scripts/bench_projective_log.txt).
+issue overhead (scripts/evidence/bench_projective_log.txt).
 
 Queries are processed in fixed-size chunks (``lax.map``) so the
 (N, nb^2, 3B^2) candidate tensor stays bounded at full-resolution

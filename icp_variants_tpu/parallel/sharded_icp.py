@@ -161,7 +161,7 @@ def run_icp_batch_sharded(
     Queries enumerate in load-time Morton order, same as the unsharded
     runner (the block-aligned query re-enumeration experiment was deleted
     after losing on hardware in every configuration — see
-    scripts/warm_ab_sweep2_log.txt).
+    scripts/evidence/warm_ab_sweep2_log.txt).
     """
     has_pairs = PAIRS_AXIS in mesh.shape
     has_points = POINTS_AXIS in mesh.shape

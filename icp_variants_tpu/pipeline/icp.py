@@ -135,7 +135,7 @@ def _compact_cloud(
     consumers apply the mask). Row gathers are TPU issue-bound, so the
     colors gather is skipped (zeros) when no color consumer is configured
     — the batched stage probe put selection at 0.18 ms/pair/iter, ~11% of
-    the headline iteration (scripts/batched_stage_log.txt)."""
+    the headline iteration (scripts/evidence/batched_stage_log.txt)."""
     return Cloud(
         points=jnp.where(
             sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
@@ -229,8 +229,8 @@ def _iteration(
     target kd blocks) was built and measured in rounds 2-3 and LOST on
     hardware in every configuration — warm 9.2 vs 12.7 pairs/s (scattered
     per-granule radii), union 7.7 vs 11.5 (scattered gathers) — so the
-    machinery was deleted (scripts/warm_ab_sweep_log.txt,
-    scripts/warm_ab_sweep2_log.txt).
+    machinery was deleted (scripts/evidence/warm_ab_sweep_log.txt,
+    scripts/evidence/warm_ab_sweep2_log.txt).
     """
     # With the point axis sharded, global row indices need the shard offset
     # and per-shard PRNG streams must decorrelate.

@@ -7,7 +7,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "batch_size_probe_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "batch_size_probe_log.txt"
 )
 
 

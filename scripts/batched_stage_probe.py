@@ -8,7 +8,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "batched_stage_log.txt")
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "batched_stage_log.txt")
 
 
 def log(msg):

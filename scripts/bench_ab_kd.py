@@ -1,7 +1,7 @@
 """A/B the headline bench path: kd (v3) matcher vs visited-list (v2) alone.
 
 Back-to-back interleaved reps on the real chip to beat backend variance.
-Appends to scripts/bench_ab_kd_log.txt.
+Appends to scripts/evidence/bench_ab_kd_log.txt.
 """
 
 import os
@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_ab_kd_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "bench_ab_kd_log.txt")
 
 
 def log(msg):

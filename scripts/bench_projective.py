@@ -2,7 +2,7 @@
 k-NN matching — per-run time and final RMSE (the reference presentation's
 "projective beats k-NN at convergence" claim, VERDICT item 8).
 
-Appends to scripts/bench_projective_log.txt.
+Appends to scripts/evidence/bench_projective_log.txt.
 """
 
 import os
@@ -13,7 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "bench_projective_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "bench_projective_log.txt"
 )
 
 

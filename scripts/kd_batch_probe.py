@@ -11,7 +11,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kd_batch_probe_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "kd_batch_probe_log.txt")
 
 
 def log(msg):

@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kd_fail_probe_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "kd_fail_probe_log.txt")
 
 
 def log(msg):

@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kd_sweep_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "kd_sweep_log.txt")
 
 
 def log(msg):

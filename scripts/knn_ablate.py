@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "knn_ablate_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "knn_ablate_log.txt")
 
 
 def log(msg):

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "knn_diag_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "knn_diag_log.txt")
 
 
 def log(msg):

@@ -2,7 +2,7 @@
 
 Sweeps (tile_t, chunk) for nn_search_pruned_v2 inside a 20-iteration scan
 (visit-list construction included, CSE defeated by per-iteration query
-jitter). Appends to scripts/knn_sweep_log.txt.
+jitter). Appends to scripts/evidence/knn_sweep_log.txt.
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "knn_sweep_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "knn_sweep_log.txt")
 
 
 def log(msg):

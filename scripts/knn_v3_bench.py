@@ -2,7 +2,7 @@
 (v2) at bench scale — 4.7k queries vs 365k targets, bound 10, inside a
 20-iteration scan like the production ICP loop.
 
-Appends to scripts/knn_v3_log.txt.
+Appends to scripts/evidence/knn_v3_log.txt.
 """
 
 import os
@@ -11,7 +11,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "knn_v3_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "knn_v3_log.txt")
 
 
 def log(msg):

@@ -1,5 +1,5 @@
 """Stage-split timing of v3 kd matcher variants on TPU.
-Appends to scripts/knn_v3_log.txt."""
+Appends to scripts/evidence/knn_v3_log.txt."""
 
 import os
 import sys
@@ -7,7 +7,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "knn_v3_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "knn_v3_log.txt")
 
 
 def log(msg):

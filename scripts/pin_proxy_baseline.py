@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 # Best-ever proxy seconds derived from the round-3 captures (device rate /
-# vs_baseline from BENCH_r03.json and scripts/bench_r3_final2.txt). These
+# vs_baseline from BENCH_r03.json and scripts/evidence/bench_r3_final2.txt). These
 # seed the pin so it can only tighten from the historical record.
 HISTORICAL_BEST = {
     "eth_proxy_seconds_per_pair": 6.68 / 12.4826,

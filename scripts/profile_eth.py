@@ -1,5 +1,5 @@
 """Fused per-stage TimeMeasure of the ETH-scale bench config on the real
-chip, for both selection modes. Appends to scripts/profile_eth_log.txt."""
+chip, for both selection modes. Appends to scripts/evidence/profile_eth_log.txt."""
 
 import os
 import sys
@@ -7,7 +7,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "profile_eth_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "profile_eth_log.txt")
 
 
 def log(msg):

@@ -2,7 +2,7 @@
 
 Builds jitted 50-iteration scans at the exact bench shapes where successive
 variants add one pipeline stage; timing differences attribute per-iteration
-cost to each stage. Results append to scripts/profile_log.txt (flushed +
+cost to each stage. Results append to scripts/evidence/profile_log.txt (flushed +
 fsynced — background shells in this environment buffer stdout until exit).
 
 Run:  python scripts/profile_iter.py
@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "profile_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "profile_log.txt")
 
 
 def log(msg):

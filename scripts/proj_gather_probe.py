@@ -1,7 +1,7 @@
 """Probe: projective window scan — fancy-index row gathers vs one
 lax.gather of contiguous (span,3) slices per query per window row.
 
-Appends to scripts/proj_gather_log.txt.
+Appends to scripts/evidence/proj_gather_log.txt.
 """
 
 import os
@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "proj_gather_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "proj_gather_log.txt"
 )
 
 

@@ -9,7 +9,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "resident_bench_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "resident_bench_log.txt"
 )
 
 

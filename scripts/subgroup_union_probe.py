@@ -22,7 +22,7 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "subgroup_union_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "subgroup_union_log.txt"
 )
 
 

@@ -1,6 +1,6 @@
 """One-shot orchestrator for when the TPU tunnel returns: hardware
 exactness check of the warm bitmap kernel, then the e2e A/B sweep, then
-the headline bench. Appends everything to tpu_return_log.txt."""
+the headline bench. Appends everything to scripts/evidence/tpu_return_log.txt."""
 
 import json
 import os
@@ -11,7 +11,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "tpu_return_log.txt")
+                   "evidence", "tpu_return_log.txt")
 
 
 def log(msg):

@@ -10,7 +10,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "warm_ab_sweep_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "warm_ab_sweep_log.txt"
 )
 
 _ANSI = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")

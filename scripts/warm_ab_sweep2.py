@@ -4,7 +4,7 @@ The first sweep (warm_ab_sweep.py) ran most arms with the block-aligned
 query reorder ON, which costs the warm path ~30% (scattered per-granule
 radii) — so its knob arms were contaminated. This one re-ran the knob
 sweep with qorder OFF for warm arms, plus the never-measured arm
-UNION + qorder. RESULT (scripts/warm_ab_sweep2_log.txt): qorder lost in
+UNION + qorder. RESULT (scripts/evidence/warm_ab_sweep2_log.txt): qorder lost in
 every configuration (union 7.7 vs 11.5 pairs/s; warm 9.2 vs 12.7), so
 the query-order machinery was deleted from the package; this script now
 keeps only the surviving arms so it stays runnable.
@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "warm_ab_sweep2_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "warm_ab_sweep2_log.txt"
 )
 
 _ANSI = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")

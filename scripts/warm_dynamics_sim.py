@@ -21,7 +21,7 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 LOG = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "warm_dynamics_log.txt"
+    os.path.dirname(os.path.abspath(__file__)), "evidence", "warm_dynamics_log.txt"
 )
 
 

@@ -2,7 +2,7 @@
 vs the visited-list kernel vs full search, union vs warm-radius."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "warm_stage_log.txt")
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence", "warm_stage_log.txt")
 def log(m):
     line = f"[{time.strftime('%H:%M:%S')}] {m}"
     print(line, flush=True)

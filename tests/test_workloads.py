@@ -230,7 +230,7 @@ class TestHeadlineConfigParity:
 
         cfg = bench.headline_config()
         # The measured-winner defaults: warm matcher on
-        # (scripts/warm_ab_sweep_log.txt: 12.7 vs 11.5 pairs/s); the
+        # (scripts/evidence/warm_ab_sweep_log.txt: 12.7 vs 11.5 pairs/s); the
         # losing block-aligned query reorder is deleted outright.
         assert cfg.kd_warm_start
         assert icp._kd_selection_applies(cfg)
