@@ -55,6 +55,15 @@ def main(argv=None) -> int:
             "by distance) each iteration — robust to partial overlap "
             "(1.0 = off, reference parity)",
         )
+        p.add_argument(
+            "--matching-checks", type=int, default=0,
+            help="APPROXIMATE kd matching: bound each query's candidate "
+            "budget to ~this many target points and skip the exactness "
+            "certificate — FLANN SearchParams(checks) parity (the "
+            "reference runs checks=16, NearestNeighbor.h:134). 0 = exact "
+            "(default). Only the kd-indexed matching path honors it; see "
+            "PARITY.md 'Approximate matching arm'",
+        )
 
     b = sub.add_parser("bunny", help="align the Stanford bunny pair")
     add_common(b)
@@ -115,6 +124,8 @@ def main(argv=None) -> int:
             d["trim_ratio"] = args.trim_ratio
         if getattr(args, "weighting", 0):
             d["weighting"] = Weighting(args.weighting)
+        if getattr(args, "matching_checks", 0):
+            d["matching_checks"] = args.matching_checks
         return d
 
     if args.cmd == "bunny":

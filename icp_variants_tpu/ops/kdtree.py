@@ -183,6 +183,18 @@ def build_kd_index(
     )
 
 
+def checks_to_k(checks: int, index: KDIndex) -> int:
+    """Map a FLANN-style ``checks`` budget (candidate POINTS per query) to
+    the top-k block cap of the kd searches: enough whole blocks to cover
+    the budget, at least 1, at most the block count. The block capacity is
+    the static ceil(capacity / n_blocks) slot count — the per-query
+    candidate budget is therefore an upper bound, like FLANN's (a check
+    counts a visited leaf whether or not it improves the result)."""
+    nc = index.block_orig.shape[0]
+    cap = index.block_orig.shape[1]
+    return max(1, min(-(-int(checks) // cap), nc))
+
+
 def stack_kd_indexes(indexes) -> KDIndex:
     """Stack equal-shape KDIndexes along a new leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *indexes)
@@ -738,6 +750,7 @@ def match_kd_warm(
     *,
     fallback_index=None,
     k: int | None = None,
+    checks: int = 0,
     tile_q: int | None = None,
     interpret: bool = False,
     impl: str | None = None,
@@ -751,6 +764,13 @@ def match_kd_warm(
     NearestNeighbor.h:182) — the TPU analog of a kd-tree query warm-started
     at the previous correspondence, which FLANN cannot express.
 
+    ``checks > 0`` is the approximate arm (see :func:`match_kd`): the
+    membership cap comes from :func:`checks_to_k` and the certificate +
+    fallback are skipped — the warm radii still only SHRINK membership
+    (a block beyond an upper bound on the NN distance never helps), and
+    the cached-match backstop still applies, so the approximate warm
+    search is never worse than the cold approximate search.
+
     Exactness: the cached match is a real target point, so its exact
     distance at the CURRENT query position upper-bounds the NN distance;
     the search is complete within min(radius, top-k certificate) — a
@@ -763,6 +783,8 @@ def match_kd_warm(
     """
     if impl is None:
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if checks > 0:
+        k = checks_to_k(checks, index)
     d = index.block_min.shape[1]
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
@@ -779,7 +801,14 @@ def match_kd_warm(
     if query_mask is not None:
         radius = jnp.where(query_mask, radius, -1.0)
 
-    if impl == "v2" and (k == 0 or fallback_index is None):
+    if impl == "v2" and checks > 0:
+        # Approximate arm: k-capped membership ∩ radii, certificate ignored,
+        # no fallback. The cached-match backstop below still applies.
+        idx, d2, _fail = nn_search_kd_warm(
+            queries, index, float(max_distance), radius, k=k,
+            tile_q=tile_q, interpret=interpret,
+        )
+    elif impl == "v2" and (k == 0 or fallback_index is None):
         idx, d2 = nn_search_kd_radius(
             queries, index, float(max_distance), radius,
             tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
@@ -798,6 +827,17 @@ def match_kd_warm(
         idxf, d2f = fallback_vm(queries, fradii, fallback_index)
         idx = jnp.where(fail, idxf, idx)
         d2 = jnp.where(fail, d2f, d2)
+    elif checks > 0:
+        # Portable approximate oracle: same k-capped membership rule as the
+        # kernel path. Emulate the kernel's radius cap (binit) by deferring
+        # to the cached match unless the k-block search beat it — the
+        # generic backstop below then restores the cached match.
+        fidx, fd2, _fail = nn_search_kd(
+            queries, index, float(max_distance), k=k
+        )
+        not_better = has_cache & (fd2 >= cached_d2)
+        idx = jnp.where(not_better, -1, fidx)
+        d2 = jnp.where(not_better, bound_val, fd2)
     else:
         # Portable oracle (CPU tests): full exact search, radii ignored —
         # identical results by the exactness argument above.
@@ -927,6 +967,7 @@ def match_kd(
     query_mask: jax.Array | None = None,
     *,
     k: int | None = None,
+    checks: int = 0,
     interpret: bool = False,
     impl: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -945,11 +986,21 @@ def match_kd(
     ``custom_vmap`` rule keeps the predicate batch-GLOBAL under the
     batched runner's vmap (a per-pair cond would lower to a select that
     executes both branches every iteration).
+
+    ``checks > 0`` is the APPROXIMATE arm (ICPConfig.matching_checks,
+    FLANN SearchParams(checks) parity — NearestNeighbor.h:134): the
+    candidate budget is capped at ~``checks`` points (whole blocks via
+    :func:`checks_to_k`) and the certificate + fallback are SKIPPED — a
+    query whose NN lies outside its best-lb blocks keeps the best
+    candidate found, exactly FLANN's failure mode. Results are then
+    approximate; every exact caller keeps ``checks == 0``.
     """
     from icp_variants_tpu.ops import knn
 
     if impl is None:
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if checks > 0:
+        k = checks_to_k(checks, index)
     if impl == "v2" and knn.resident_fits(*index.pages.shape[::2]):
         # Production when the pair's page table fits VMEM: the resident
         # kernel (measured 1.17 vs the union's 1.46 ms/pair/iter at bench
@@ -970,14 +1021,18 @@ def match_kd(
         idx3, d23, fail = nn_search_kd(queries, index, max_distance, k=k)
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
-    tile_t = fallback_index.points_t3.shape[2]
-    fallback_vm = _make_fallback(
-        impl, float(max_distance), tile_t, interpret
-    )
-    radii = jnp.where(fail, bound_val, -1.0)
-    idxf, d2f = fallback_vm(queries, radii, fallback_index)
-    idx = jnp.where(fail, idxf, idx3)
-    d2 = jnp.where(fail, d2f, d23)
+    if checks > 0:
+        # Approximate arm: no certificate, no fallback dispatch at all.
+        idx, d2 = idx3, d23
+    else:
+        tile_t = fallback_index.points_t3.shape[2]
+        fallback_vm = _make_fallback(
+            impl, float(max_distance), tile_t, interpret
+        )
+        radii = jnp.where(fail, bound_val, -1.0)
+        idxf, d2f = fallback_vm(queries, radii, fallback_index)
+        idx = jnp.where(fail, idxf, idx3)
+        d2 = jnp.where(fail, d2f, d23)
     valid = (d2 <= max_distance) & (idx >= 0)
     if query_mask is not None:
         valid = valid & query_mask

@@ -112,6 +112,19 @@ class ICPConfig:
     # production default equal to the measured winner in BOTH regimes.
     # A TPU-native capability with no reference analog (FLANN queries
     # are stateless, NearestNeighbor.h:160-186).
+    # FLANN-parity APPROXIMATE matching (opt-in). The reference's FLANN
+    # search is itself approximate — SearchParams(16) bounds the leaf
+    # visits per query (NearestNeighbor.h:134, 172-174) — while this
+    # framework's default matcher is exact within the threshold. checks>0
+    # bounds each query's kd candidate budget to ~`matching_checks` target
+    # POINTS (rounded up to whole kd blocks) and skips the exactness
+    # certificate + fallback: a query whose true NN lies outside its
+    # best-lower-bound blocks gets the best candidate found instead
+    # (exactly FLANN's failure mode). 0 (default) = exact. Only the
+    # kd-indexed matching path honors it; ICP is famously tolerant of
+    # slightly-wrong NNs (see PARITY.md "Approximate matching arm").
+    matching_checks: int = 0
+
     kd_warm_start: bool = True
     # Warm cache granularity: one slot per `granule` Morton-consecutive
     # source rows. Any granule-mate's match is a valid radius bound (it is
@@ -175,7 +188,13 @@ class ICPConfig:
             lines.append("  Multi-Resolution ICP enabled")
         lines.append(f"  1. Selection: {self.selection.name.lower()}"
                      + (f" (p={self.selection_proba})" if self.selection == Selection.RANDOM else ""))
-        lines.append(f"  2. Matching: {self.matching.name.lower()} (max sq distance {self.max_distance})")
+        match_desc = f"  2. Matching: {self.matching.name.lower()} (max sq distance {self.max_distance})"
+        if self.matching_checks > 0:
+            match_desc += (
+                f" [APPROXIMATE: ~{self.matching_checks}-point candidate "
+                "budget, FLANN-checks parity]"
+            )
+        lines.append(match_desc)
         lines.append(f"  3. Weighting: {self.weighting.name.lower()}")
         rej = "angle of normals" if self.rejection else "keep all"
         if self.trim_ratio < 1.0:

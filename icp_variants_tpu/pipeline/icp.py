@@ -178,7 +178,8 @@ def _match_kd_stage(
     """
     if match_cache is None or not cfg.kd_warm_start or target_feats is None:
         idx, d2, valid = kdtree.match_kd(
-            q, kd_index, target_index, cfg.max_distance, query_mask=sel_mask
+            q, kd_index, target_index, cfg.max_distance, query_mask=sel_mask,
+            checks=cfg.matching_checks,
         )
         return idx, d2, valid, match_cache
     gcap = match_cache.shape[0]
@@ -191,7 +192,7 @@ def _match_kd_stage(
     idx, d2, valid = kdtree.match_kd_warm(
         q, kd_index, cfg.max_distance, match_cache[granules], target_feats,
         query_mask=sel_mask, fallback_index=target_index,
-        tile_q=cfg.kd_warm_tile_q,
+        tile_q=cfg.kd_warm_tile_q, checks=cfg.matching_checks,
     )
     granules = jnp.where(valid, granules, gcap)
     new_cache = match_cache.at[granules].set(idx, mode="drop")

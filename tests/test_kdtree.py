@@ -718,3 +718,135 @@ class TestWarmStart:
             assert agree.all()
 
 
+
+
+class TestApproximateArm:
+    """FLANN-parity approximate matching (ICPConfig.matching_checks,
+    kdtree checks= kwarg): bounded candidate budget, certificate +
+    fallback skipped — PARITY.md 'Approximate matching arm'. The default
+    (checks=0) keeps every exact test above untouched."""
+
+    def test_checks_to_k_mapping(self):
+        _, t = _clouds(n_q=128, seed=30)
+        idx = kdtree.build_kd_index(t)
+        nc, cap = idx.block_orig.shape
+        assert kdtree.checks_to_k(1, idx) == 1
+        assert kdtree.checks_to_k(16, idx) == 1  # the reference's setting
+        assert kdtree.checks_to_k(cap, idx) == 1
+        assert kdtree.checks_to_k(cap + 1, idx) == 2
+        assert kdtree.checks_to_k(10**9, idx) == nc
+
+    def test_match_kd_checks_near_exact_and_self_consistent(self):
+        q, t = _clouds(seed=31)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        maxd = 4.0
+        i, d2, valid = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, maxd, checks=16)
+        i, d2, valid = np.asarray(i), np.asarray(d2), np.asarray(valid)
+        # Self-consistency: every reported match is a REAL target point at
+        # the reported squared distance, within the threshold.
+        w = valid
+        assert w.mean() > 0.8
+        real_d2 = ((q[w] - t[i[w]]) ** 2).sum(1)
+        np.testing.assert_allclose(d2[w], real_d2, rtol=1e-5, atol=1e-6)
+        assert (d2[w] <= maxd * (1 + 1e-6)).all()
+        # Near-exactness: the NN usually lives in the best-lb block.
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        wex = dref * dref <= maxd
+        agree = (i[wex] == iref[wex]) | np.isclose(
+            d2[wex], (dref * dref)[wex], rtol=1e-5, atol=1e-6)
+        assert agree.mean() > 0.9, agree.mean()
+
+    def test_checks_kernel_at_least_as_good_as_oracle(self):
+        """The interpret-mode resident kernel at k=1 must be AT LEAST as
+        good as the per-query top-1 gather oracle: its (subgroup, block)
+        gating evaluates the union of each 8-query subgroup's memberships,
+        a superset of any single query's top-1 block — so it may find a
+        strictly better neighbor, never a worse one. Every kernel match
+        must also be self-consistent (a real point at the reported
+        distance)."""
+        q, t = _clouds(n_t=8000, n_q=512, seed=32)
+        idx = kdtree.build_kd_index(t)
+        maxd = 4.0
+        i_k, d2_k, _ = kdtree.nn_search_kd_resident(
+            jnp.asarray(q), idx, maxd, k=1, interpret=True)
+        i_o, d2_o, _ = kdtree.nn_search_kd(jnp.asarray(q), idx, maxd, k=1)
+        i_k, d2_k = np.asarray(i_k), np.asarray(d2_k)
+        i_o, d2_o = np.asarray(i_o), np.asarray(d2_o)
+        w = i_k >= 0
+        real_d2 = ((q[w] - t[i_k[w]]) ** 2).sum(1)
+        np.testing.assert_allclose(d2_k[w], real_d2, rtol=1e-5, atol=1e-6)
+        both = w & (i_o >= 0)
+        assert (d2_k[both] <= d2_o[both] * (1 + 1e-6) + 1e-7).all()
+        # where the oracle found something, the kernel must too
+        assert w[i_o >= 0].all()
+        # and they agree on the vast majority of queries
+        assert (i_k[both] == i_o[both]).mean() > 0.9
+
+    def test_match_kd_warm_checks_backstop(self):
+        """Approximate warm search: with an exact-NN cache the backstop
+        must keep every cached match (the approximate arm can never lose
+        a match the cache already has)."""
+        q, t = _clouds(n_t=8000, n_q=512, seed=33)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        maxd = 4.0
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        cache = jnp.asarray(iref.astype(np.int32))
+        i, d2, valid = kdtree.match_kd_warm(
+            jnp.asarray(q), idx, maxd, cache, jnp.asarray(t),
+            fallback_index=tin, checks=16)
+        i, d2, valid = np.asarray(i), np.asarray(d2), np.asarray(valid)
+        w = dref * dref <= maxd
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        assert valid[w].all()
+
+    def test_run_icp_checks_converges_like_exact(self):
+        """Pipeline-level: matching_checks=16 must converge to (nearly)
+        the exact arm's terminal RMSE — ICP is tolerant of slightly-wrong
+        NNs (the reference itself runs a 16-check approximate FLANN)."""
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        rng = np.random.default_rng(34)
+        xy = rng.uniform(-2, 2, (4000, 2))
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        tgt_np = np.column_stack([xy, z]).astype(np.float32)
+        ang = 0.03
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        src_np = tgt_np @ R.T + np.array([0.03, -0.02, 0.01], np.float32)
+        src = from_numpy(src_np, morton_order=True)
+        tgt = from_numpy(tgt_np, morton_order=True)
+        src = src._replace(
+            normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+        tgt = tgt._replace(
+            normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+        kd = kdtree.build_kd_index(
+            np.asarray(tgt.points), np.asarray(tgt.valid))
+        kw = dict(
+            gt_source_points=src_np, gt_target_points=tgt_np,
+            gt_valid=np.ones(len(tgt_np), bool))
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=15)
+        r_exact = icp.run_icp(cfg, src, tgt, kd_index=kd, **kw)
+        r_apx = icp.run_icp(
+            cfg.replace(matching_checks=16), src, tgt, kd_index=kd, **kw)
+        rmse_e = np.asarray(r_exact.trace.rmse)
+        rmse_a = np.asarray(r_apx.trace.rmse)
+        # Both arms converge (strong reduction from the first iteration)
+        # and the approximate arm lands within 20% of the exact terminal
+        # RMSE (in practice the best-lb block contains the NN almost
+        # always).
+        assert rmse_e[-1] < 0.25 * rmse_e[0]
+        assert rmse_a[-1] < max(rmse_e[-1] * 1.2, rmse_e[-1] + 1e-4), (
+            rmse_a[-1], rmse_e[-1])
