@@ -447,17 +447,19 @@ def bench_tum_projective(state):
     return _time_batch(run) / TUM_BATCH_FRAMES
 
 
-def bench_color_multires(state):
+def bench_color_multires(state, **overrides):
     """Multi-resolution + color ICP (6-dim k-NN) on the TUM frames
     (BASELINE.json config 4): full-size sources, stride pyramid, colors in
-    the matching metric. Returns seconds/frame."""
+    the matching metric. ``overrides`` replace ICPConfig fields (the
+    approximate arm passes matching_checks). Returns seconds/frame."""
     import jax
 
     from icp_variants_tpu.pipeline import icp
 
     from icp_variants_tpu.ops import kdtree
 
-    cfg = _tum_base_config(color_icp=True, multi_resolution=True)
+    cfg = _tum_base_config(
+        color_icp=True, multi_resolution=True, **overrides)
     sources, targets = state["sources_full"], state["targets_cmp"]
     # 6-dim color kd over the (shared) tracking target: dense SELECT_ALL
     # rides the resident kernel (production gate, icp.build_kd_for).

@@ -62,6 +62,38 @@ def edge_residuals(
     return jax.vmap(one)(graph.edge_i, graph.edge_j, graph.rel_poses, graph.weights)
 
 
+# Below this many poses the block JTJ assembles densely and solves with
+# one Cholesky-backed jnp.linalg.solve (6V x 6V is tiny); above it the
+# system is solved MATRIX-FREE by preconditioned CG over the edge blocks
+# — O(E) memory and O(E * n_cg) work instead of the dense path's O(V^2)
+# memory / O(V^3) solve (SURVEY §2.2's "partition residual blocks,
+# Schur-complement reduce" scale).
+DENSE_MAX_POSES = 96
+
+
+def _edge_blocks(poses, graph: PoseGraph):
+    """Per-edge linearization at the current poses: weighted residual
+    ``r_e`` (6,) and the two 6x6 Jacobian blocks wrt the incident pose
+    increments. jacfwd runs over the 12-dim PER-EDGE increment (vmapped),
+    so the cost is O(E) — unlike differentiating through the flattened
+    (6V,) increment, which materialized a dense (6E, 6V) Jacobian."""
+
+    def one(ei, ej, rel, w):
+        def res(z):
+            Ti = se3.increment_to_matrix(z[:6]) @ poses[ei]
+            Tj = se3.increment_to_matrix(z[6:]) @ poses[ej]
+            return w * _log_se3(se3.invert_pose(Ti @ rel) @ Tj)
+
+        z0 = jnp.zeros((12,), jnp.float32)
+        r = res(z0)
+        J = jax.jacfwd(res)(z0)          # (6, 12)
+        return r, J[:, :6], J[:, 6:]
+
+    return jax.vmap(one)(
+        graph.edge_i, graph.edge_j, graph.rel_poses, graph.weights
+    )
+
+
 def refine(
     base_poses: jax.Array | np.ndarray,
     graph: PoseGraph,
@@ -70,34 +102,111 @@ def refine(
     damping: float = 1e-6,
     prior_weight: float = 1e4,
     axis_name: str | None = None,
+    n_cg: int = 100,
 ) -> jax.Array:
     """Gauss-Newton pose-graph refinement; returns refined (V, 4, 4) poses.
 
+    The normal equations are assembled from analytic per-edge 6x6 blocks
+    (:func:`_edge_blocks`): densely for small graphs
+    (``V <= DENSE_MAX_POSES``), matrix-free via block-Jacobi-
+    preconditioned conjugate gradients (``n_cg`` static iterations)
+    beyond — a 1,000-pose graph refines in seconds on CPU where the old
+    flattened-jacfwd dense path was quadratic-memory/cubic-solve.
+
     With ``axis_name`` set, ``graph`` holds this device's EDGE SHARD (zero
-    weights pad ragged shards) and the JTJ/JTr reductions psum across the
-    mesh axis; the small dense solve runs replicated.
+    weights pad ragged shards) and every JTJ/JTr reduction psums across
+    the mesh axis (the CG matvec psums per application); the per-pose
+    update runs replicated.
     """
     base_poses = jnp.asarray(base_poses, jnp.float32)
     v = base_poses.shape[0]
+    dense = v <= DENSE_MAX_POSES
 
     def gn_step(poses, _):
-        x0 = jnp.zeros((v, 6), jnp.float32)
+        r, Ji, Jj = _edge_blocks(poses, graph)
+        ei, ej = graph.edge_i, graph.edge_j
 
-        def res_flat(xf):
-            return edge_residuals(xf.reshape(v, 6), poses, graph).reshape(-1)
-
-        r = res_flat(x0.reshape(-1))
-        J = jax.jacfwd(res_flat)(x0.reshape(-1))      # (6E, 6V)
-        jtj = J.T @ J
-        g = J.T @ r
+        # Gradient g = J^T r, scatter-added per incident pose.
+        g = (
+            jnp.zeros((v, 6), jnp.float32)
+            .at[ei].add(jnp.einsum("eab,ea->eb", Ji, r))
+            .at[ej].add(jnp.einsum("eab,ea->eb", Jj, r))
+        )
         if axis_name is not None:
-            jtj = jax.lax.psum(jtj, axis_name)
             g = jax.lax.psum(g, axis_name)
 
-        # Gauge prior: clamp pose 0 (block-diagonal weight on its increment).
-        prior = jnp.zeros((6 * v,), jnp.float32).at[:6].set(prior_weight)
-        jtj = jtj + jnp.diag(prior) + damping * jnp.eye(6 * v, dtype=jnp.float32)
-        dx = -jnp.linalg.solve(jtj, g).reshape(v, 6)
+        # Gauge prior clamps pose 0; damping regularizes the whole system.
+        prior_row = (
+            jnp.arange(v) == 0
+        ).astype(jnp.float32)[:, None] * prior_weight
+
+        if dense:
+            H = (
+                jnp.zeros((v, v, 6, 6), jnp.float32)
+                .at[ei, ei].add(jnp.einsum("eab,eac->ebc", Ji, Ji))
+                .at[ei, ej].add(jnp.einsum("eab,eac->ebc", Ji, Jj))
+                .at[ej, ei].add(jnp.einsum("eab,eac->ebc", Jj, Ji))
+                .at[ej, ej].add(jnp.einsum("eab,eac->ebc", Jj, Jj))
+            )
+            if axis_name is not None:
+                H = jax.lax.psum(H, axis_name)
+            jtj = (
+                H.transpose(0, 2, 1, 3).reshape(6 * v, 6 * v)
+                + jnp.diag(jnp.broadcast_to(prior_row, (v, 6)).reshape(-1))
+                + damping * jnp.eye(6 * v, dtype=jnp.float32)
+            )
+            dx = -jnp.linalg.solve(jtj, g.reshape(-1)).reshape(v, 6)
+        else:
+            # Block-diagonal of H (V, 6, 6) for the Jacobi preconditioner.
+            D = (
+                jnp.zeros((v, 6, 6), jnp.float32)
+                .at[ei].add(jnp.einsum("eab,eac->ebc", Ji, Ji))
+                .at[ej].add(jnp.einsum("eab,eac->ebc", Jj, Jj))
+            )
+            if axis_name is not None:
+                D = jax.lax.psum(D, axis_name)
+            D = D + (
+                jnp.eye(6, dtype=jnp.float32)[None]
+                * (damping + prior_row)[:, :, None]
+            )
+            D_inv = jnp.linalg.inv(D)
+
+            def matvec(xv):
+                y = jnp.einsum("eab,eb->ea", Ji, xv[ei]) + jnp.einsum(
+                    "eab,eb->ea", Jj, xv[ej]
+                )
+                out = (
+                    jnp.zeros_like(xv)
+                    .at[ei].add(jnp.einsum("eab,ea->eb", Ji, y))
+                    .at[ej].add(jnp.einsum("eab,ea->eb", Jj, y))
+                )
+                if axis_name is not None:
+                    out = jax.lax.psum(out, axis_name)
+                return out + (damping + prior_row) * xv
+
+            def precon(xv):
+                return jnp.einsum("vab,vb->va", D_inv, xv)
+
+            b = -g
+
+            def cg_body(_, state):
+                x, rr, p, rz = state
+                hp = matvec(p)
+                denom = jnp.sum(p * hp)
+                alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
+                x = x + alpha * p
+                rr = rr - alpha * hp
+                z = precon(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+                p = z + beta * p
+                return x, rr, p, rz_new
+
+            x0 = jnp.zeros_like(b)
+            z0 = precon(b)
+            dx = jax.lax.fori_loop(
+                0, n_cg, cg_body, (x0, b, z0, jnp.sum(b * z0))
+            )[0]
 
         new_poses = jax.vmap(
             lambda inc, p: se3.increment_to_matrix(inc) @ p
