@@ -266,6 +266,41 @@ def bench_tpu(pairs, selection, use_kd=True, state=None, **overrides):
     return best
 
 
+def eth_true_pose(i):
+    """The known rigid perturbation applied to pair i's source by
+    make_pairs (the headline family's angle/shift schedule)."""
+    ang = 0.05 + 0.01 * i
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0],
+         [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    shift = np.array([0.5 - 0.1 * i, -0.3 + 0.05 * i, 0.1], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = shift
+    return T
+
+
+def measure_eth_accuracy(state, cfg):
+    """Mean max-abs translation error of the registered poses against the
+    known synthetic perturbations — the accuracy metric the exact-vs-
+    approximate arm comparison reports (ICP must invert eth_true_pose)."""
+    import jax
+
+    from icp_variants_tpu.pipeline import icp
+
+    res = icp.run_icp_batch(
+        cfg, state["sources"], state["targets"], key=jax.random.PRNGKey(1),
+        kd_indexes=state["kd_indexes"],
+    )
+    poses = jax.device_get(res.pose)
+    errs = [
+        float(np.abs((np.asarray(poses[i]) @ eth_true_pose(i)
+                      - np.eye(4))[:3, 3]).max())
+        for i in range(poses.shape[0])
+    ]
+    return float(np.mean(errs))
+
+
 def bench_cpu_proxy(src_pts, tgt_pts):
     """FLANN+Eigen proxy: kd-tree build + 50 rounds of (select, query, 6x6
     normal-equation solve) with scipy/numpy on all cores."""
@@ -480,6 +515,38 @@ def bench_color_multires(state, **overrides):
     return _time_batch(run) / TUM_BATCH_FRAMES
 
 
+def measure_color_accuracy(state, **overrides):
+    """Mean max-abs translation error of the color-multires tracker
+    against the synthetic camera's known x-shift (frame i's camera sits at
+    x = -TUM_SHIFT*i, so the GT source->target transform is a pure
+    translation of -TUM_SHIFT*i) — the exact-vs-approximate accuracy
+    metric for bench config 4."""
+    import jax
+
+    from icp_variants_tpu.ops import kdtree
+    from icp_variants_tpu.pipeline import icp
+
+    cfg = _tum_base_config(
+        color_icp=True, multi_resolution=True, **overrides)
+    sources, targets = state["sources_full"], state["targets_cmp"]
+    tgt0 = jax.tree.map(lambda x: x[0], targets)
+    kd0 = icp.build_kd_for(cfg, tgt0)
+    kd_indexes = (
+        kdtree.stack_kd_indexes([kd0] * TUM_BATCH_FRAMES)
+        if kd0 is not None else None
+    )
+    res = icp.run_icp_batch(
+        cfg, sources, targets, key=jax.random.PRNGKey(1),
+        num_source_points=TUM_W * TUM_H, kd_indexes=kd_indexes)
+    poses = jax.device_get(res.pose)
+    errs = []
+    for b in range(poses.shape[0]):
+        gt_t = np.array([-TUM_SHIFT * (b + 1), 0.0, 0.0], np.float32)
+        errs.append(float(np.abs(
+            np.asarray(poses[b])[:3, 3] - gt_t).max()))
+    return float(np.mean(errs))
+
+
 def bench_cpu_proxy_projective(state):
     """Reference-shaped projective proxy: per iteration, project every
     stride-8 source point into the target image and scan the (2*12+1)^2
@@ -666,30 +733,47 @@ def main():
     # measures the one production configuration; a forced-warm arm stays
     # measurable via scripts/warm_ab_sweep.py.
     state = prepare_host_state(pairs)
-    dt_cold = bench_tpu(pairs, Selection.RANDOM, state=state)
-    dt_tpu = dt_cold
+    # TWO matching arms (PARITY.md "Approximate matching arm"):
+    # - exact: this framework's default contract (exact 1-NN within the
+    #   threshold, certificate + fallback) — STRICTER than the reference;
+    # - FLANN-parity: matching_checks=16, the reference's own
+    #   SearchParams(16) approximate-search semantics
+    #   (NearestNeighbor.h:134). The headline value is the FLANN-parity
+    #   arm — like-for-like against the reference's matcher — with the
+    #   exact arm and the accuracy delta reported alongside.
+    dt_exact = bench_tpu(pairs, Selection.RANDOM, state=state)
+    dt_apx = bench_tpu(
+        pairs, Selection.RANDOM, state=state, matching_checks=16)
     dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST, state=state)
+    err_exact = measure_eth_accuracy(state, headline_config(Selection.RANDOM))
+    err_apx = measure_eth_accuracy(
+        state, headline_config(Selection.RANDOM, matching_checks=16))
     # Fresh best-of-2 CPU proxy (drift detection + possible pin tightening);
     # the denominator of record is the PIN (module docstring).
     src_pts, _, tgt_pts, _ = pairs[0]
     dt_cpu = min(bench_cpu_proxy(src_pts, tgt_pts) for _ in range(2))
 
     pins = load_pinned_proxy()
-    pairs_per_sec = 1.0 / dt_tpu
     out = {
         "metric": "eth_scale_scan_pairs_per_sec_chip",
-        "value": round(pairs_per_sec, 4),
+        "value": round(1.0 / dt_apx, 4),
         "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
-        "reference-exact Bernoulli selection)",
+        "reference-exact Bernoulli selection, FLANN-parity 16-check "
+        "matching — the reference's own approximation; exact arm "
+        "reported alongside)",
+        "exact_matching_pairs_per_sec": round(1.0 / dt_exact, 4),
         "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
-        "cold_matcher_pairs_per_sec": round(1.0 / dt_cold, 4),
+        "accuracy_mean_t_err_m": {
+            "exact": round(err_exact, 5), "checks16": round(err_apx, 5),
+        },
         "warm_start": "regime-gated: dense selection only "
         "(ICPConfig.kd_warm_start)",
         "distinct_pairs_per_batch": BATCH_PAIRS,
     }
     denom = proxy_denominator(
         pins, "eth_proxy_seconds_per_pair", dt_cpu, out, "eth")
-    out["vs_baseline"] = round(denom / dt_tpu, 3)
+    out["vs_baseline"] = round(denom / dt_apx, 3)
+    out["exact_matching_vs_baseline"] = round(denom / dt_exact, 3)
 
     # Secondary sections are fault-contained: one section failing (e.g. a
     # first-time compile tripping a VMEM limit) must not cost the headline
@@ -702,21 +786,24 @@ def main():
 
     def _eth_indoor():
         # The HARD synthetic family (multi-surface indoor scene, density
-        # falloff, 20-40% non-overlap) under the exact headline config —
-        # same capacities, so it reuses the compiled executable.
+        # falloff, 20-40% non-overlap) under the headline config — same
+        # capacities, so both arms reuse the headline's compiled
+        # executables.
         ipairs = make_indoor_pairs()
         istate = prepare_host_state(ipairs)
-        dt_iw = bench_tpu(ipairs, Selection.RANDOM, state=istate)
-        dt_ic = bench_tpu(
-            ipairs, Selection.RANDOM, kd_warm_start=False, state=istate
+        dt_ie = bench_tpu(ipairs, Selection.RANDOM, state=istate)
+        dt_ia = bench_tpu(
+            ipairs, Selection.RANDOM, state=istate, matching_checks=16
         )
         isrc, _, itgt, _ = ipairs[0]
         dt_icpu = min(bench_cpu_proxy(isrc, itgt) for _ in range(2))
         denom_i = proxy_denominator(
             pins, "eth_indoor_proxy_seconds_per_pair", dt_icpu, out,
             "eth_indoor")
-        out["eth_indoor_pairs_per_sec"] = round(1.0 / min(dt_iw, dt_ic), 4)
-        out["eth_indoor_vs_baseline"] = round(denom_i / min(dt_iw, dt_ic), 3)
+        out["eth_indoor_pairs_per_sec"] = round(1.0 / dt_ia, 4)
+        out["eth_indoor_vs_baseline"] = round(denom_i / dt_ia, 3)
+        out["eth_indoor_exact_pairs_per_sec"] = round(1.0 / dt_ie, 4)
+        out["eth_indoor_exact_vs_baseline"] = round(denom_i / dt_ie, 3)
 
     if "eth_indoor" in sections:
         section("eth_indoor", _eth_indoor)
@@ -738,15 +825,24 @@ def main():
             out["tum_projective_vs_baseline"] = round(denom_p / dt_p, 3)
 
         def _color_multires():
-            dt_m = bench_color_multires(tum_state)
+            dt_me = bench_color_multires(tum_state)
+            dt_ma = bench_color_multires(tum_state, matching_checks=16)
             dt_mc = min(
                 bench_cpu_proxy_color_multires(tum_state) for _ in range(2)
             )
             denom_m = proxy_denominator(
                 pins, "color_multires_proxy_seconds_per_frame", dt_mc, out,
                 "color_multires")
-            out["color_multires_frames_per_sec"] = round(1.0 / dt_m, 4)
-            out["color_multires_vs_baseline"] = round(denom_m / dt_m, 3)
+            out["color_multires_frames_per_sec"] = round(1.0 / dt_ma, 4)
+            out["color_multires_vs_baseline"] = round(denom_m / dt_ma, 3)
+            out["color_multires_exact_frames_per_sec"] = round(1.0 / dt_me, 4)
+            out["color_multires_exact_vs_baseline"] = round(
+                denom_m / dt_me, 3)
+            out["color_multires_accuracy_mean_t_err_m"] = {
+                "exact": round(measure_color_accuracy(tum_state), 6),
+                "checks16": round(
+                    measure_color_accuracy(tum_state, matching_checks=16), 6),
+            }
 
         if "tum_projective" in sections:
             section("tum_projective", _tum_projective)
