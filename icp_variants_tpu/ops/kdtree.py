@@ -72,6 +72,12 @@ class KDIndex(NamedTuple):
     block_max: jax.Array    # (C, D) box maxs (-inf for empty blocks)
     pages: jax.Array        # (C, 8, cap_pad) kernel pages, feature-major
     page_orig: jax.Array    # (C*cap_pad,) original row ids, -1 padding
+    # PACKED page table for the resident kernel (d <= 3 only, else None):
+    # two blocks per 8-row page — rows 0-2 hold block 2m's coords, rows
+    # 3-5 block 2m+1's. Halves the per-iteration bulk VMEM copy (the
+    # legacy layout wastes 5 of 8 rows at d=3) and doubles the
+    # resident-eligible cloud size.
+    pages_packed: jax.Array | None = None
 
 
 def kd_depth_for(capacity: int, block_target: int = BLOCK_TARGET) -> int:
@@ -173,6 +179,18 @@ def build_kd_index(
     pages[:, :d, :cap] = pts.transpose(0, 2, 1)
     page_orig = np.full((n_blocks, cap_pad), -1, np.int32)
     page_orig[:, :cap] = block_orig
+    pages_packed = None
+    if d <= 3:
+        # Two blocks per 8-row page for the resident kernel (see KDIndex).
+        n_pages = (n_blocks + 1) // 2
+        pk = np.zeros((n_pages, 8, cap_pad), np.float32)
+        pk[:, 0:3, :] = LEAF_PAD
+        pk[:, 3:6, :] = LEAF_PAD
+        coords = pts.transpose(0, 2, 1)            # (nc, d, cap)
+        pk[:, 0:d, :cap] = coords[0::2]
+        n_odd = n_blocks // 2
+        pk[:n_odd, 3:3 + d, :cap] = coords[1::2]
+        pages_packed = jnp.asarray(pk)
     return KDIndex(
         block_pts=jnp.asarray(block_pts),
         block_orig=jnp.asarray(block_orig),
@@ -180,7 +198,32 @@ def build_kd_index(
         block_max=jnp.asarray(block_max),
         pages=jnp.asarray(pages),
         page_orig=jnp.asarray(page_orig.reshape(-1)),
+        pages_packed=pages_packed,
     )
+
+
+def _resident_layout(index: KDIndex):
+    """Resolve the resident kernel's page table for this index:
+    ``(pages, packed, fits)``.
+
+    The one-block-per-page layout is preferred when it fits — the halved
+    bulk copy of the packed layout measured slightly SLOWER end-to-end
+    (17.09 vs 17.79 pairs/s at checks=16: the copy rides near peak
+    bandwidth and is not the kernel's fixed cost; the split even/odd
+    walk+compute loops add overhead — scripts/evidence/approx_arm_log.txt).
+    The packed two-blocks-per-page table (d <= 3) instead serves clouds
+    whose full table EXCEEDS the VMEM budget: it doubles the
+    resident-eligible capacity (~365k -> ~730k points) before falling
+    back to the streaming bitmap kernel."""
+    from icp_variants_tpu.ops import knn
+
+    nc, _, tile_t = index.pages.shape
+    d = index.block_min.shape[1]
+    if knn.resident_fits(nc, tile_t):
+        return index.pages, False, True
+    if index.pages_packed is not None and knn.resident_fits(nc, tile_t, d=d):
+        return index.pages_packed, True, True
+    return index.pages, False, False
 
 
 def checks_to_k(checks: int, index: KDIndex) -> int:
@@ -601,11 +644,19 @@ def _kd_bitmap_search(
     # (subgroup, block) on the prefix's membership bits, and prunes the
     # cold tail with per-subgroup frozen bounds read after the hot phase.
     if impl == "resident":
+        if gate_width is None and 0 < k <= 2:
+            # Narrow-membership regimes (the approximate arm's k=1/2):
+            # gate=32 measured 0.861 vs gate=64's 1.076 ms/pair/iter at
+            # k=1 (scripts/evidence/approx_arm_log.txt); the exact k=4
+            # path keeps the swept 64 default.
+            gate_width = 32
+        pages, packed, _fits = _resident_layout(index)
         dist, idx = knn._run_resident_kernel(
-            q, binit, hot, member & ~hot, lb_tile, submask, index.pages,
+            q, binit, hot, member & ~hot, lb_tile, submask, pages,
             float(max_distance),
             tile_q=tile_q, tile_t=index.pages.shape[2],
             n_features=d, interpret=interpret, gate_width=gate_width,
+            packed=packed,
         )
     else:
         dist, idx = knn._run_bitmap_kernel(
@@ -652,11 +703,7 @@ def nn_search_kd_radius(
     """
     from icp_variants_tpu.ops import knn
 
-    impl = (
-        "resident"
-        if knn.resident_fits(index.pages.shape[0], index.pages.shape[2])
-        else "bitmap"
-    )
+    impl = "resident" if _resident_layout(index)[2] else "bitmap"
     idx, d2, _resid = _kd_bitmap_search(
         queries, index, float(max_distance), radius,
         k=0, tile_q=tile_q, chunk=chunk, interpret=interpret, impl=impl,
@@ -726,11 +773,7 @@ def nn_search_kd_warm(
 
     nc = index.pages.shape[0]
     k = min(K_DEFAULT if k is None else k, nc)
-    impl = (
-        "resident"
-        if knn.resident_fits(nc, index.pages.shape[2])
-        else "bitmap"
-    )
+    impl = "resident" if _resident_layout(index)[2] else "bitmap"
     idx, d2, resid = _kd_bitmap_search(
         queries, index, float(max_distance), radius,
         k=k, tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
@@ -1001,7 +1044,7 @@ def match_kd(
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
     if checks > 0:
         k = checks_to_k(checks, index)
-    if impl == "v2" and knn.resident_fits(*index.pages.shape[::2]):
+    if impl == "v2" and _resident_layout(index)[2]:
         # Production when the pair's page table fits VMEM: the resident
         # kernel (measured 1.17 vs the union's 1.46 ms/pair/iter at bench
         # shapes, scripts/evidence/resident_bench_log.txt) — zero per-block DMA,

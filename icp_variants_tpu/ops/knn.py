@@ -1261,16 +1261,21 @@ RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
 RESIDENT_GATE_WIDTH = 64
 
 
-def resident_fits(nc: int, tile_t: int) -> bool:
+def resident_fits(nc: int, tile_t: int, d: int | None = None) -> bool:
     """Whether one pair's page table fits the resident kernel's VMEM
     scratch budget (leaves ~3 MB of a v5e core's ~16 MB for the query
-    tiles, outputs and code landing)."""
-    return nc * 8 * tile_t * 4 <= RESIDENT_VMEM_BUDGET
+    tiles, outputs and code landing). With ``d <= 3`` the PACKED layout
+    applies (two blocks per 8-row page — rows 0-2 / 3-5), halving both
+    the scratch and the bulk copy; ``d`` omitted means the legacy
+    one-block-per-page table."""
+    n_pages = (nc + 1) // 2 if d is not None and d <= 3 else nc
+    return n_pages * 8 * tile_t * 4 <= RESIDENT_VMEM_BUDGET
 
 
 def _make_resident_kernel(
     tile_t: int, nc_real: int, nqt: int, n_features: int,
     quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
+    packed: bool = False,
 ):
     """Resident-pages search kernel (single-phase): grid = (pair, query
     tile); the first tile of each pair bulk-copies the pair's full page
@@ -1298,11 +1303,14 @@ def _make_resident_kernel(
     r = gate_width // SG_WIDTH          # SG bits per gate
     r_mask = (1 << r) - 1
     n_streams = 4
-    nc_stream = -(-nc_real // n_streams)
+    # With the packed layout the copy streams move PAGES (2 blocks each).
+    n_pages = (nc_real + 1) // 2 if packed else nc_real
+    nc_stream = -(-n_pages // n_streams)
 
     def kernel(
-        range_ref,        # scalar prefetch (2*B*nqt,) int32: [jmin, jend)
-                          # pairs, flat (2-D SMEM operands lane-pad to 128)
+        range_ref,        # scalar prefetch (2*B*nqt*n_gate,) int32:
+                          # PER-GATE [jmin, jend) pairs, flat (2-D SMEM
+                          # operands lane-pad to 128)
         code_ref,         # (B*nqt, 8, nc_pad) int32 HBM: row 0 = tag|lbq
                           # codes (unused here), row 1 = membership masks
         t_ref,            # (B*nc_real*8, tile_t) pages in HBM, FLAT 2-D:
@@ -1334,9 +1342,9 @@ def _make_resident_kernel(
 
         def page_dma(k):
             lo = k * nc_stream
-            n = min(nc_stream, nc_real - k * nc_stream)
+            n = min(nc_stream, n_pages - k * nc_stream)
             return pltpu.make_async_copy(
-                t_ref.at[pl.ds((b * nc_real + lo) * 8, n * 8)],
+                t_ref.at[pl.ds((b * n_pages + lo) * 8, n * 8)],
                 vpages_ref.at[pl.ds(lo * 8, n * 8)],
                 page_sems.at[k],
             )
@@ -1375,23 +1383,51 @@ def _make_resident_kernel(
         # region costs ~50-100 ns whether or not it is taken — the v1/v3
         # sweeps bottomed out on exactly that; scalar walk work overlaps
         # the previous tiles' vector compute across grid steps and is
-        # ~free, probe logs).
-        def walk(j, counts):
-            msk = vcode_ref[cslot, 1, j]
-            jc = jnp.minimum(j, nc_real - 1)
-            out = []
-            for g in range(n_gate):
-                c = counts[g]
-                vids_ref[g, c] = jc
-                out.append(c + ((msk >> (g * r)) & r_mask != 0))
-            return tuple(out)
-
+        # ~free, probe logs). Each gate walks its OWN span (per-gate
+        # [jmin, jend) from the prefetch): Morton-coherent gate rows have
+        # far tighter tree-order spans than the whole tile, and the
+        # per-j work is one mask test instead of n_gate.
+        n_lists = 2 * n_gate if packed else n_gate
         if probe >= 1:
-            counts = (0,) * n_gate
+            counts = (0,) * n_lists
+        elif packed:
+            # Per gate, SPLIT the member list by block parity: even blocks
+            # live in rows 0-2 of their page, odd in rows 3-5, so the two
+            # compute loops below keep STATIC row slices (no dynamic
+            # sublane addressing).
+            counts = []
+            for g in range(n_gate):
+
+                def walk_g(j, carry, g=g):
+                    ce, co = carry
+                    msk = vcode_ref[cslot, 1, j]
+                    hit = (msk >> (g * r)) & r_mask != 0
+                    odd = (j & 1) == 1
+                    pid = jnp.minimum(j >> 1, n_pages - 1)
+                    vids_ref[2 * g, ce] = pid
+                    vids_ref[2 * g + 1, co] = pid
+                    return ce + (hit & ~odd), co + (hit & odd)
+
+                base = 2 * (p * n_gate + g)
+                ce, co = jax.lax.fori_loop(
+                    range_ref[base], range_ref[base + 1], walk_g, (0, 0)
+                )
+                counts.extend([ce, co])
+            counts = tuple(counts)
         else:
-            counts = jax.lax.fori_loop(
-                range_ref[2 * p], range_ref[2 * p + 1], walk, (0,) * n_gate
-            )
+            counts = []
+            for g in range(n_gate):
+
+                def walk_g(j, c, g=g):
+                    msk = vcode_ref[cslot, 1, j]
+                    vids_ref[g, c] = jnp.minimum(j, nc_real - 1)
+                    return c + ((msk >> (g * r)) & r_mask != 0)
+
+                base = 2 * (p * n_gate + g)
+                counts.append(jax.lax.fori_loop(
+                    range_ref[base], range_ref[base + 1], walk_g, 0
+                ))
+            counts = tuple(counts)
 
         @pl.when(i == 0)
         def _():
@@ -1408,31 +1444,44 @@ def _make_resident_kernel(
             rows = slice(g * gate_width, (g + 1) * gate_width)
             qg = [q_ref[rows, c:c + 1] for c in range(n_features)]
 
-            def body(k, carry, g=g, qg=qg):
-                dist, idx = carry
-                block_id = vids_ref[g, k]
-                t = vpages_ref[pl.ds(block_id * 8, 8), :]   # (8, tile_t)
-                d2 = (qg[0] - t[0:1, :]) ** 2
-                for c in range(1, n_features):
-                    d2 = d2 + (qg[c] - t[c:c + 1, :]) ** 2
-                local_min = jnp.min(d2, axis=1, keepdims=True)
-                sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
-                # PAIR-LOCAL sorted page index (callers map via their own
-                # page_orig).
-                local_arg = (block_id * tile_t + sub).reshape(-1, 1)
-                better = local_min < dist
-                return (
-                    jnp.where(better, local_min, dist),
-                    jnp.where(better, local_arg, idx),
-                )
+            def make_body(g, qg, lst, row_off, blk_off):
+                def body(k, carry):
+                    dist, idx = carry
+                    pid = vids_ref[lst, k]
+                    t = vpages_ref[pl.ds(pid * 8, 8), :]    # (8, tile_t)
+                    d2 = (qg[0] - t[row_off:row_off + 1, :]) ** 2
+                    for c in range(1, n_features):
+                        d2 = d2 + (
+                            qg[c] - t[row_off + c:row_off + c + 1, :]
+                        ) ** 2
+                    local_min = jnp.min(d2, axis=1, keepdims=True)
+                    sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                    # PAIR-LOCAL sorted page index (callers map via their
+                    # own page_orig).
+                    block_id = pid * 2 + (1 if blk_off else 0) if packed else pid
+                    local_arg = (block_id * tile_t + sub).reshape(-1, 1)
+                    better = local_min < dist
+                    return (
+                        jnp.where(better, local_min, dist),
+                        jnp.where(better, local_arg, idx),
+                    )
+                return body
 
-            dist, idx = jax.lax.fori_loop(
-                0, counts[g],
-                body,
-                (binit_ref[rows], jnp.full((gate_width, 1), -1, jnp.int32)),
-            )
-            dist_ref[rows] = dist
-            idx_ref[rows] = idx
+            carry = (binit_ref[rows], jnp.full((gate_width, 1), -1, jnp.int32))
+            if packed:
+                carry = jax.lax.fori_loop(
+                    0, counts[2 * g], make_body(g, qg, 2 * g, 0, 0), carry
+                )
+                carry = jax.lax.fori_loop(
+                    0, counts[2 * g + 1],
+                    make_body(g, qg, 2 * g + 1, 3, 1), carry,
+                )
+            else:
+                carry = jax.lax.fori_loop(
+                    0, counts[g], make_body(g, qg, g, 0, 0), carry
+                )
+            dist_ref[rows] = carry[0]
+            idx_ref[rows] = carry[1]
 
     return kernel
 
@@ -1440,14 +1489,20 @@ def _make_resident_kernel(
 def _run_resident_kernel_flat(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
+    packed=False,
 ):
     """Flat batched resident-kernel invocation (same operand preparation
     as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
     tile triggers the bulk page copy). Returns ``(dist, idx)`` of shape
-    (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices."""
+    (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices.
+
+    ``packed`` means ``pages`` is the two-blocks-per-page layout
+    (KDIndex.pages_packed, d <= 3): half the bulk copy bytes."""
     b, nq_pad, f = q.shape
     nq_tiles = nq_pad // tile_q
-    nc = pages.shape[1]
+    nc = hot.shape[2]
+    n_pages = pages.shape[1]
+    assert n_pages == ((nc + 1) // 2 if packed else nc), (n_pages, nc)
     nc_pad = ((nc + 127) // 128) * 128
 
     bound_val = float(
@@ -1466,17 +1521,30 @@ def _run_resident_kernel_flat(
         rows, ((0, 0), (0, 0), (0, 6), (0, nc_pad - nc))
     ).reshape(b * nq_tiles, 8, nc_pad)
 
-    member = hot | cold
+    # PER-GATE membership spans: gate g's scalar walk only scans blocks
+    # some query of ITS OWN gate_width rows needs (derived from the
+    # per-subgroup mask bits), not the whole tile's span — Morton-coherent
+    # gates have much tighter tree-order spans than their tile (the walk
+    # was 0.23 ms/pair of the k=1 kernel with tile-wide spans,
+    # scripts/evidence/approx_arm_log.txt).
+    n_gate = tile_q // gate_width
+    r_bits = gate_width // SG_WIDTH
+    r_mask = (1 << r_bits) - 1
+    sm = submask.astype(jnp.int32)
+    gate_member = jnp.stack(
+        [((sm >> (g * r_bits)) & r_mask) != 0 for g in range(n_gate)],
+        axis=2,
+    )                                              # (B, nqt, n_gate, nc)
     iota = jnp.arange(nc, dtype=jnp.int32)
-    jmin = jnp.min(jnp.where(member, iota, nc), axis=2)
-    jend = jnp.max(jnp.where(member, iota + 1, 0), axis=2)
+    jmin = jnp.min(jnp.where(gate_member, iota, nc), axis=3)
+    jend = jnp.max(jnp.where(gate_member, iota + 1, 0), axis=3)
     ranges = jnp.stack(
         [jmin, jnp.maximum(jend, jmin)], axis=-1
-    ).reshape(2 * b * nq_tiles)
+    ).reshape(2 * b * nq_tiles * n_gate)
 
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
-        probe,
+        probe, packed=packed,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1510,8 +1578,14 @@ def _run_resident_kernel_flat(
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 8, nc_pad), jnp.int32),
-            pltpu.SMEM((max(tile_q // gate_width, 2), nc_pad), jnp.int32),
-            pltpu.VMEM((nc * 8, tile_t), jnp.float32),
+            pltpu.SMEM(
+                (
+                    max((2 if packed else 1) * (tile_q // gate_width), 2),
+                    nc_pad,
+                ),
+                jnp.int32,
+            ),
+            pltpu.VMEM((n_pages * 8, tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -1530,7 +1604,7 @@ def _run_resident_kernel_flat(
     )(
         ranges,
         code8,
-        pages.reshape(b * nc * 8, tile_t),
+        pages.reshape(b * n_pages * 8, tile_t),
         q.reshape(b * nq_pad, f),
         binit.reshape(b * nq_pad, 1),
     )
@@ -1541,13 +1615,14 @@ def _run_resident_kernel_flat(
 def _resident_search_fn(
     tile_q: int, tile_t: int, n_features: int,
     max_distance: float, gate_width: int, interpret: bool,
+    packed: bool = False,
 ):
     """Build (and cache) the custom-vmap resident searcher (same batching
     design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
     grid in one launch)."""
     kw = dict(
         tile_q=tile_q, tile_t=tile_t, n_features=n_features,
-        gate_width=gate_width, interpret=interpret,
+        gate_width=gate_width, interpret=interpret, packed=packed,
     )
 
     def search(q, binit, hot, cold, lb_tile, submask, pages):
@@ -1574,13 +1649,15 @@ def _resident_search_fn(
 def _run_resident_kernel(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, interpret, gate_width=None,
+    packed=False,
 ):
     """Resident-pages search over one pair (batches via the custom vmap
-    rule: the pair axis joins the kernel grid)."""
+    rule: the pair axis joins the kernel grid). ``pages`` must be the
+    packed two-blocks-per-page table when ``packed`` is set."""
     fn = _resident_search_fn(
         tile_q, tile_t, n_features, float(max_distance),
         RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
-        interpret,
+        interpret, packed,
     )
     return fn(q, binit, hot, cold, lb_tile, submask, pages)
 

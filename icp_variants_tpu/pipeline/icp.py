@@ -690,7 +690,12 @@ def _kd_resident_will_run(cfg: ICPConfig, capacity: int) -> bool:
     depth = kdtree.kd_depth_for(capacity)
     nc = 1 << depth
     cap_pad = ((-(-capacity // nc)) + 127) // 128 * 128
-    return knn.resident_fits(nc, cap_pad)
+    # Either layout qualifies: the preferred one-block-per-page table, or
+    # (for 3-dim geometry past the VMEM budget) the packed fallback that
+    # doubles the resident-eligible capacity (kdtree._resident_layout).
+    return knn.resident_fits(nc, cap_pad) or knn.resident_fits(
+        nc, cap_pad, d=6 if cfg.color_icp else 3
+    )
 
 
 def _kd_selection_applies(cfg: ICPConfig, capacity: int | None = None) -> bool:

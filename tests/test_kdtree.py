@@ -850,3 +850,46 @@ class TestApproximateArm:
         assert rmse_e[-1] < 0.25 * rmse_e[0]
         assert rmse_a[-1] < max(rmse_e[-1] * 1.2, rmse_e[-1] + 1e-4), (
             rmse_a[-1], rmse_e[-1])
+
+
+class TestPackedResidency:
+    """The packed two-blocks-per-page table (KDIndex.pages_packed) serves
+    clouds whose one-block-per-page table exceeds the resident VMEM
+    budget — doubling resident-eligible capacity before the streaming
+    fallback (kdtree._resident_layout)."""
+
+    def test_packed_layout_selected_and_exact(self, monkeypatch):
+        q, t = _clouds(n_t=20000, n_q=1024, seed=40)
+        idx = kdtree.build_kd_index(t)
+        assert idx.pages_packed is not None
+        nc, _, tile_t = idx.pages.shape
+        unpacked_bytes = nc * 8 * tile_t * 4
+        # Shrink the budget so only the packed table fits.
+        monkeypatch.setattr(
+            knn, "RESIDENT_VMEM_BUDGET", unpacked_bytes // 2 + 1)
+        pages, packed, fits = kdtree._resident_layout(idx)
+        assert packed and fits
+        assert pages.shape[0] == (nc + 1) // 2
+        maxd = 4.0
+        i, d2, fail = kdtree.nn_search_kd_resident(
+            jnp.asarray(q), idx, maxd, interpret=True)
+        i, d2, fail = np.asarray(i), np.asarray(d2), np.asarray(fail)
+        dref, iref = cKDTree(t).query(q, k=1, workers=-1)
+        w = (dref * dref <= maxd) & ~fail
+        agree = (i[w] == iref[w]) | np.isclose(
+            d2[w], (dref * dref)[w], rtol=1e-5, atol=1e-6)
+        assert agree.all()
+        assert fail.mean() < 0.05
+
+    def test_unpacked_preferred_when_it_fits(self):
+        _, t = _clouds(n_t=8000, n_q=8, seed=41)
+        idx = kdtree.build_kd_index(t)
+        pages, packed, fits = kdtree._resident_layout(idx)
+        assert fits and not packed
+        assert pages.shape == idx.pages.shape
+
+    def test_color_6dim_has_no_packed_table(self):
+        rng = np.random.default_rng(42)
+        feats = rng.uniform(0, 1, (4000, 6)).astype(np.float32)
+        idx = kdtree.build_kd_index(feats)
+        assert idx.pages_packed is None
