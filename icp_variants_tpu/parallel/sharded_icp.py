@@ -294,6 +294,10 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
                 else None
             )
 
+            # Fused row tables hoisted out of the scan (icp._fuse_cloud_table).
+            src_table = icp._fuse_cloud_table(source)
+            tgt_table = icp._fuse_cloud_table(target)
+
             def body(carry, per):
                 pose, cache, aa = carry
                 stride, k = per
@@ -301,6 +305,7 @@ def _sharded_runner(cfg: ICPConfig, mesh, run_benchmark: bool, has_kd: bool):
                     cfg, source, target, pose, stride, k, gs, gt_, gv,
                     run_benchmark, axis_name=axis_name, target_index=index,
                     kd_index=kd, match_cache=cache, target_feats=feats,
+                    src_table=src_table, tgt_table=tgt_table,
                 )
                 if aa is not None:
                     aa, x_next = anderson.step(

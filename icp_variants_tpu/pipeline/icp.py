@@ -127,27 +127,64 @@ def _probe_trace(probe: jax.Array) -> "ICPTrace":
     )
 
 
+def _fuse_cloud_table(cloud: Cloud) -> jax.Array:
+    """(capacity, 8) f32 row table: [points | normals | valid | pad].
+
+    TPU XLA gathers are ROW-issue bound (CLAUDE.md), so gathering points,
+    normals and validity as three separate row gathers costs ~3x one
+    8-wide-row gather. Built ONCE per compiled run (outside the scan) and
+    gathered once per stage edge — the stop-after profile attributed
+    0.17 (selection) + 0.19 (rejection-side normals/valid) ms/pair/iter
+    to these gathers at checks=16 (scripts/evidence/batched_stage_log.txt)."""
+    return jnp.concatenate(
+        [
+            cloud.points,
+            cloud.normals,
+            cloud.valid.astype(jnp.float32)[:, None],
+            jnp.zeros((cloud.points.shape[0], 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def _compact_cloud(
-    source: Cloud, sel_idx, sel_mask, need_colors: bool = True
-) -> Cloud:
-    """Gather the compacted query cloud: masked rows' points become the pad
-    sentinel (never match anything); normals/colors gather unmasked (their
-    consumers apply the mask). Row gathers are TPU issue-bound, so the
-    colors gather is skipped (zeros) when no color consumer is configured
-    — the batched stage probe put selection at 0.18 ms/pair/iter, ~11% of
-    the headline iteration (scripts/evidence/batched_stage_log.txt)."""
+    source: Cloud,
+    src_table,
+    sel_idx,
+    pre_mask,
+    need_colors: bool = True,
+    *,
+    fold_table_valid: bool = True,
+    require_finite_normals: bool = False,
+) -> tuple[Cloud, jax.Array]:
+    """Gather the compacted query cloud via ONE fused row gather from
+    ``src_table`` (:func:`_fuse_cloud_table`): masked rows' points become
+    the pad sentinel (never match anything); normals gather unmasked
+    (their consumers apply the mask). ``pre_mask`` carries the caller's
+    draw/range mask; the table's validity column folds in here
+    (``fold_table_valid``), and ``require_finite_normals`` adds the
+    multires finite-normals residual check — both from the already-
+    gathered rows, so selection issues exactly one wide row gather (plus
+    colors only when a color consumer is configured). Returns
+    ``(cloud, sel_mask)``."""
+    rows = src_table[sel_idx]
+    sel_mask = pre_mask
+    if fold_table_valid:
+        sel_mask = sel_mask & (rows[:, 6] > 0.5)
+    if require_finite_normals:
+        sel_mask = sel_mask & jnp.isfinite(rows[:, 3:6]).all(axis=1)
     return Cloud(
         points=jnp.where(
-            sel_mask[:, None], source.points[sel_idx], cloud_lib.PAD_SENTINEL
+            sel_mask[:, None], rows[:, :3], cloud_lib.PAD_SENTINEL
         ),
-        normals=source.normals[sel_idx],
+        normals=rows[:, 3:6],
         colors=(
             source.colors[sel_idx]
             if need_colors
             else jnp.zeros((sel_idx.shape[0], 4), source.colors.dtype)
         ),
         valid=sel_mask,
-    )
+    ), sel_mask
 
 
 def _warm_applies(cfg: ICPConfig) -> bool:
@@ -216,8 +253,14 @@ def _iteration(
     stop_after: str | None = None,
     match_cache: jax.Array | None = None,
     target_feats: jax.Array | None = None,
+    src_table: jax.Array | None = None,
+    tgt_table: jax.Array | None = None,
 ):
     """One pipeline iteration; returns ``(pose, match_cache, trace)``.
+
+    ``src_table`` / ``tgt_table`` are the fused (capacity, 8) row tables
+    (:func:`_fuse_cloud_table`) built once outside the scan; omitted they
+    rebuild here (XLA hoists the loop-invariant concat).
 
     ``match_cache`` ((source capacity,) int32, -1 = none) carries each
     source row's last matched original target row across iterations for
@@ -253,6 +296,10 @@ def _iteration(
         )
 
     # --- stage 1: selection -------------------------------------------------
+    if src_table is None:
+        src_table = _fuse_cloud_table(source)
+    if tgt_table is None:
+        tgt_table = _fuse_cloud_table(target)
     sel_idx = None  # compacted-query rows into the source (None = identity)
     if cfg.multi_resolution:
         base_mask = cloud_lib.coarse_stride_mask(source, stride, index_offset)
@@ -264,19 +311,18 @@ def _iteration(
         # Bernoulli + compaction, but O(k) instead of an O(N) full-cloud
         # draw + cumsum per iteration. Stride membership is enforced by the
         # gap process' lattice, so only the validity part of base_mask
-        # remains to check per selected row.
+        # remains to check per selected row (folded from the fused table's
+        # validity column inside _compact_cloud).
         k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
         sel_stride = stride if cfg.multi_resolution else jnp.int32(1)
         sel_idx, in_range = selection.bernoulli_gap_indices(
             key, cfg.selection_proba, sel_stride, source.capacity, k_cap,
             index_offset=index_offset,
         )
-        if cfg.multi_resolution:
-            residual = source.valid & jnp.isfinite(source.normals).all(axis=1)
-        else:
-            residual = source.valid
-        sel_mask = in_range & residual[sel_idx]
-        source = _compact_cloud(source, sel_idx, sel_mask, _needs_colors(cfg))
+        source, sel_mask = _compact_cloud(
+            source, src_table, sel_idx, in_range, _needs_colors(cfg),
+            require_finite_normals=cfg.multi_resolution,
+        )
     elif cfg.selection == Selection.RANDOM:
         sel_mask = selection.random_sampling(key, base_mask, cfg.selection_proba)
     elif cfg.selection == Selection.RANDOM_FAST:
@@ -284,11 +330,21 @@ def _iteration(
         # compaction entirely — one gather does selection AND compaction.
         k_cap = _compact_capacity(source.capacity, cfg.selection_proba)
         n_draw = min(int(source.capacity * cfg.selection_proba + 0.5), k_cap)
-        sel_idx, sel_mask = selection.random_indices(
+        sel_idx, draw_mask = selection.random_indices(
             key, source.capacity, n_draw, k_cap
         )
-        sel_mask = sel_mask & base_mask[sel_idx]
-        source = _compact_cloud(source, sel_idx, sel_mask, _needs_colors(cfg))
+        if cfg.multi_resolution:
+            # The stride-lattice part of base_mask needs the row gather;
+            # validity is already inside coarse_stride_mask.
+            pre = draw_mask & base_mask[sel_idx]
+            fold_valid = False
+        else:
+            pre = draw_mask
+            fold_valid = True
+        source, sel_mask = _compact_cloud(
+            source, src_table, sel_idx, pre, _needs_colors(cfg),
+            fold_table_valid=fold_valid,
+        )
     else:
         sel_mask = selection.select_all(base_mask)
 
@@ -359,13 +415,17 @@ def _iteration(
             jnp.sum(_d2) + jnp.sum(idx) + jnp.sum(valid)
         )
     idx = jnp.clip(idx, 0, target.capacity - 1)
-    valid = valid & target.valid[idx]
+    # ONE fused row gather for the matched targets' points + normals +
+    # validity (stop-after profile: the separate normals/valid gathers
+    # cost ~0.19 ms/pair/iter at bench shapes).
+    tgt_rows = tgt_table[idx]
+    valid = valid & (tgt_rows[:, 6] > 0.5)
 
     m = weighting.MatchArrays(
         src_points=src_pts,
-        tgt_points=target.points[idx],
+        tgt_points=tgt_rows[:, :3],
         src_normals=src_nrm,
-        tgt_normals=target.normals[idx],
+        tgt_normals=tgt_rows[:, 3:6],
         src_colors=source.colors,
         tgt_colors=(
             target.colors[idx]
@@ -473,6 +533,10 @@ def _run_icp_jit(
     # scan carry; anderson_m == 0 keeps the plain fixed-point iteration.
     aa0 = anderson.init(cfg.anderson_m) if cfg.anderson_m > 0 else None
 
+    # Fused row tables, built ONCE outside the scan (see _fuse_cloud_table).
+    src_table = _fuse_cloud_table(source)
+    tgt_table = _fuse_cloud_table(target)
+
     def body(carry, per_iter):
         pose, cache, aa = carry
         stride, k = per_iter
@@ -480,6 +544,7 @@ def _run_icp_jit(
             cfg, source, target, pose, stride, k, gt_src, gt_tgt, gt_valid,
             run_benchmark, target_index=target_index, kd_index=kd_index,
             stop_after=stop_after, match_cache=cache, target_feats=feats,
+            src_table=src_table, tgt_table=tgt_table,
         )
         if aa is not None:
             # The per-iteration trace reflects the PLAIN step's pose (the
