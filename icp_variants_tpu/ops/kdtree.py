@@ -226,6 +226,31 @@ def _resident_layout(index: KDIndex):
     return index.pages, False, False
 
 
+def _to_sorted_domain(index: KDIndex, orig_idx: jax.Array) -> jax.Array:
+    """Translate original-row indices into the sorted page domain
+    (-1 passes through)."""
+    inv = _orig_to_sorted(index)
+    return jnp.where(
+        orig_idx >= 0,
+        inv[jnp.clip(orig_idx, 0, inv.shape[0] - 1)],
+        -1,
+    )
+
+
+def _orig_to_sorted(index: KDIndex) -> jax.Array:
+    """Inverse of ``page_orig``: original target row -> sorted page
+    position (block * cap_pad + slot). Rows absent from the index map to
+    -1 is not needed — every valid row appears exactly once; unused slots
+    simply never get written. Sized nc*cap (>= capacity) so it is static.
+    """
+    nc, cap = index.block_orig.shape
+    size = nc * cap
+    po = index.page_orig
+    pos = jnp.arange(po.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(po >= 0, po, size)        # pad slots drop
+    return jnp.zeros((size,), jnp.int32).at[tgt].set(pos, mode="drop")
+
+
 def checks_to_k(checks: int, index: KDIndex) -> int:
     """Map a FLANN-style ``checks`` budget (candidate POINTS per query) to
     the top-k block cap of the kd searches: enough whole blocks to cover
@@ -591,7 +616,7 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
     jax.jit,
     static_argnames=(
         "max_distance", "k", "tile_q", "chunk", "interpret", "impl",
-        "gate_width",
+        "gate_width", "orig_map",
     ),
 )
 def _kd_bitmap_search(
@@ -606,6 +631,7 @@ def _kd_bitmap_search(
     interpret: bool = False,
     impl: str = "bitmap",
     gate_width: int | None = None,
+    orig_map: bool = True,
 ):
     """Shared core of the bitmap-kernel searches: prefix (membership =
     per-query top-k by lb, intersected with the radius; k=0 = radius-
@@ -667,6 +693,11 @@ def _kd_bitmap_search(
         )
     sorted_idx = idx[:nq, 0]
     d2 = dist[:nq, 0]
+    if not orig_map:
+        # SORTED (pair-local page) index domain: the caller gathers from a
+        # page-ordered table, folding the page_orig row gather away
+        # (gather composition — one row gather instead of two per match).
+        return sorted_idx, d2, resid[:nq, 0]
     orig = index.page_orig[
         jnp.clip(sorted_idx, 0, index.page_orig.shape[0] - 1)
     ]
@@ -720,6 +751,7 @@ def nn_search_kd_resident(
     tile_q: int | None = None,
     gate_width: int | None = None,
     interpret: bool = False,
+    orig_map: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact-unless-flagged 1-NN via the resident-pages kernel — the cold
     (cache-less) production matcher for pairs whose page table fits VMEM
@@ -740,6 +772,7 @@ def nn_search_kd_resident(
         queries, index, float(max_distance), radius,
         k=k, tile_q=TILE_Q_DEFAULT if tile_q is None else tile_q,
         interpret=interpret, impl="resident", gate_width=gate_width,
+        orig_map=orig_map,
     )
     fail = resid <= jnp.minimum(d2, jnp.float32(max_distance)) * (1.0 + 1e-6)
     return idx, d2, fail
@@ -1013,6 +1046,7 @@ def match_kd(
     checks: int = 0,
     interpret: bool = False,
     impl: str | None = None,
+    orig_map: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Matching stage over the k-d index: per-query search + exactness
     fallback. Same ``(indices, dist2, valid)`` contract as
@@ -1037,6 +1071,12 @@ def match_kd(
     query whose NN lies outside its best-lb blocks keeps the best
     candidate found, exactly FLANN's failure mode. Results are then
     approximate; every exact caller keeps ``checks == 0``.
+
+    ``orig_map=False`` (checks>0 kernel paths only) returns indices in
+    the SORTED page domain (block * cap_pad + slot) instead of original
+    target rows: callers that gather match attributes from a page-ordered
+    table fold the page_orig row gather away entirely (gathers are
+    row-issue bound — pipeline/icp.py builds that table once per run).
     """
     from icp_variants_tpu.ops import knn
 
@@ -1044,13 +1084,15 @@ def match_kd(
         impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
     if checks > 0:
         k = checks_to_k(checks, index)
+    sorted_out = (not orig_map) and checks > 0
     if impl == "v2" and _resident_layout(index)[2]:
         # Production when the pair's page table fits VMEM: the resident
         # kernel (measured 1.17 vs the union's 1.46 ms/pair/iter at bench
         # shapes, scripts/evidence/resident_bench_log.txt) — zero per-block DMA,
         # per-gate compute gating, list construction in the prefix kernel.
         idx3, d23, fail = nn_search_kd_resident(
-            queries, index, max_distance, k=k, interpret=interpret
+            queries, index, max_distance, k=k, interpret=interpret,
+            orig_map=not sorted_out,
         )
     elif impl == "v2":
         # The union kernel (per-query candidate tightness at per-tile
@@ -1060,8 +1102,14 @@ def match_kd(
         idx3, d23, fail = nn_search_kd_union(
             queries, index, max_distance, k=k, interpret=interpret
         )
+        if sorted_out:
+            idx3 = _to_sorted_domain(index, idx3)
     else:
         idx3, d23, fail = nn_search_kd(queries, index, max_distance, k=k)
+        if sorted_out:
+            # Oracle path: translate to the sorted page domain so CPU
+            # tests exercise the same contract as the kernel paths.
+            idx3 = _to_sorted_domain(index, idx3)
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
 
     if checks > 0:

@@ -108,10 +108,27 @@ def _solve(
     )
 
 
+# Sorted-domain match-table shortcut (see _run_icp_jit): removes the
+# page_orig row gather from the scan, but measured ~7% SLOWER end-to-end
+# (19.2 vs 20.9 pairs/s, interleaved A/B in
+# scripts/evidence/approx_arm_log.txt) — the 1-wide int gather is cheap
+# and the page-ordered table gather loses the original row domain's
+# Morton locality. Kept implemented + tested for future hardware.
+USE_SORTED_MATCH_TABLE = False
+
+
 def _compact_capacity(n: int, proba: float) -> int:
     """Static query capacity for compacted random selection: expected count
-    plus a >10-sigma binomial margin, rounded to the k-NN tile multiple."""
-    k = int(n * proba * 1.25) + 64
+    plus a >=10-sigma binomial margin, rounded to the k-NN tile multiple.
+
+    The margin is exact-sigma-based (10 * sqrt(n*p*(1-p)) + 64), not a
+    fixed 1.25x: at ETH scale the old rule held a ~15-sigma slack whose
+    extra padded rows cost ~9% of every query-proportional stage
+    (truncation odds at 10 sigma are ~1e-23 — still effectively never,
+    and truncation only drops the tail selections of one iteration)."""
+    expected = n * proba
+    sigma = (n * proba * (1.0 - proba)) ** 0.5
+    k = int(expected + 10.0 * sigma) + 64
     k = ((k + 127) // 128) * 128
     return min(n, k)
 
@@ -203,7 +220,7 @@ def _needs_colors(cfg: ICPConfig) -> bool:
 
 def _match_kd_stage(
     cfg, q, kd_index, target_index, sel_mask, sel_idx, match_cache,
-    target_feats,
+    target_feats, orig_map=True,
 ):
     """kd matching stage with optional warm start + match-cache update.
 
@@ -211,12 +228,14 @@ def _match_kd_stage(
     query's cached match row, searches within the exact distance to it
     (kdtree.match_kd_warm), and scatters the new matches back — invalid
     slots write out of range (dropped), so a masked row never races a
-    valid duplicate in the scatter.
+    valid duplicate in the scatter. ``orig_map=False`` (cold approximate
+    path only) returns SORTED-page-domain indices for the page-ordered
+    match table (see _iteration).
     """
     if match_cache is None or not cfg.kd_warm_start or target_feats is None:
         idx, d2, valid = kdtree.match_kd(
             q, kd_index, target_index, cfg.max_distance, query_mask=sel_mask,
-            checks=cfg.matching_checks,
+            checks=cfg.matching_checks, orig_map=orig_map,
         )
         return idx, d2, valid, match_cache
     gcap = match_cache.shape[0]
@@ -255,6 +274,7 @@ def _iteration(
     target_feats: jax.Array | None = None,
     src_table: jax.Array | None = None,
     tgt_table: jax.Array | None = None,
+    tgt_table_kd: jax.Array | None = None,
 ):
     """One pipeline iteration; returns ``(pose, match_cache, trace)``.
 
@@ -364,6 +384,7 @@ def _iteration(
         )
 
     # --- stage 2: matching --------------------------------------------------
+    match_table = tgt_table  # original-row domain unless the kd shortcut
     if cfg.matching == Matching.PROJECTIVE:
         idx, _d2, valid = projective.projective_match(
             src_pts,
@@ -398,10 +419,16 @@ def _iteration(
             t = knn.color_features(target.points, target.colors)
             idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
     elif kd_index is not None and target_index is not None:
+        # SORTED-domain shortcut (approximate cold kd only): matches come
+        # back as page positions and gather from the page-ordered table,
+        # folding the page_orig row gather away (gather composition).
+        use_sorted = tgt_table_kd is not None and match_cache is None
         idx, _d2, valid, match_cache = _match_kd_stage(
             cfg, src_pts, kd_index, target_index, sel_mask, sel_idx,
-            match_cache, target_feats,
+            match_cache, target_feats, orig_map=not use_sorted,
         )
+        if use_sorted:
+            match_table = tgt_table_kd
     elif target_index is not None:
         idx, _d2, valid = knn.match_indexed(
             src_pts, target_index, cfg.max_distance, query_mask=sel_mask
@@ -414,11 +441,11 @@ def _iteration(
         return pose, match_cache, _probe_trace(
             jnp.sum(_d2) + jnp.sum(idx) + jnp.sum(valid)
         )
-    idx = jnp.clip(idx, 0, target.capacity - 1)
+    idx = jnp.clip(idx, 0, match_table.shape[0] - 1)
     # ONE fused row gather for the matched targets' points + normals +
     # validity (stop-after profile: the separate normals/valid gathers
     # cost ~0.19 ms/pair/iter at bench shapes).
-    tgt_rows = tgt_table[idx]
+    tgt_rows = match_table[idx]
     valid = valid & (tgt_rows[:, 6] > 0.5)
 
     m = weighting.MatchArrays(
@@ -537,6 +564,28 @@ def _run_icp_jit(
     src_table = _fuse_cloud_table(source)
     tgt_table = _fuse_cloud_table(target)
 
+    # Page-ordered match table for the approximate cold kd path: matching
+    # returns SORTED page positions and the per-match gather reads this
+    # table directly — the page_orig row gather disappears from the scan
+    # (one-time composition here instead; gathers are row-issue bound).
+    # Guarded to configs whose match consumption never needs original
+    # rows: no warm cache (it stores original ids) and no color gathers.
+    tgt_table_kd = None
+    if (
+        USE_SORTED_MATCH_TABLE
+        and kd_index is not None
+        and cfg.matching_checks > 0
+        and not _warm_applies(cfg)
+        and not _needs_colors(cfg)
+    ):
+        po = kd_index.page_orig
+        rows = tgt_table[jnp.clip(po, 0, tgt_table.shape[0] - 1)]
+        pad_row = jnp.concatenate([
+            jnp.full((3,), cloud_lib.PAD_SENTINEL, jnp.float32),
+            jnp.zeros((5,), jnp.float32),
+        ])
+        tgt_table_kd = jnp.where((po >= 0)[:, None], rows, pad_row[None, :])
+
     def body(carry, per_iter):
         pose, cache, aa = carry
         stride, k = per_iter
@@ -545,6 +594,7 @@ def _run_icp_jit(
             run_benchmark, target_index=target_index, kd_index=kd_index,
             stop_after=stop_after, match_cache=cache, target_feats=feats,
             src_table=src_table, tgt_table=tgt_table,
+            tgt_table_kd=tgt_table_kd,
         )
         if aa is not None:
             # The per-iteration trace reflects the PLAIN step's pose (the

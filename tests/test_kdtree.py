@@ -893,3 +893,73 @@ class TestPackedResidency:
         feats = rng.uniform(0, 1, (4000, 6)).astype(np.float32)
         idx = kdtree.build_kd_index(feats)
         assert idx.pages_packed is None
+
+
+class TestSortedDomain:
+    """orig_map=False (the approximate arm's page-ordered match-table
+    shortcut): sorted-domain indices must be page_orig-consistent and the
+    pipeline shortcut must be numerically identical to the orig-domain
+    path."""
+
+    def test_match_kd_sorted_domain_consistency(self):
+        q, t = _clouds(seed=35)
+        idx = kdtree.build_kd_index(t)
+        tin = knn.build_target_index(jnp.asarray(t), tile_t=knn.V2_TILE_T)
+        i_o, d2_o, v_o = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, 4.0, checks=16)
+        i_s, d2_s, v_s = kdtree.match_kd(
+            jnp.asarray(q), idx, tin, 4.0, checks=16, orig_map=False)
+        i_o, i_s = np.asarray(i_o), np.asarray(i_s)
+        po = np.asarray(idx.page_orig)
+        mapped = np.where(i_s >= 0, po[np.clip(i_s, 0, len(po) - 1)], -1)
+        np.testing.assert_array_equal(mapped, i_o)
+        np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_o))
+        np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_o))
+
+    def test_pipeline_sorted_shortcut_matches_orig_domain(self, monkeypatch):
+        """RANDOM+compact selection with checks>0 activates the sorted
+        shortcut; forcing the orig path (via the color-consumer guard)
+        must give the identical pose trajectory."""
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer, Selection,
+        )
+
+        rng = np.random.default_rng(36)
+        xy = rng.uniform(-2, 2, (4000, 2))
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        tgt_np = np.column_stack([xy, z]).astype(np.float32)
+        src_np = (tgt_np + np.array([0.03, -0.02, 0.01], np.float32))
+        src = from_numpy(src_np, morton_order=True)
+        tgt = from_numpy(tgt_np, morton_order=True)
+        src = src._replace(
+            normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+        tgt = tgt._replace(
+            normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+        kd = kdtree.build_kd_index(
+            np.asarray(tgt.points), np.asarray(tgt.valid))
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=6, matching_checks=16,
+            selection=Selection.RANDOM, selection_proba=0.3)
+        assert not icp._warm_applies(cfg)
+        # The shortcut is off in production (measured ~7% slower on v5e;
+        # see icp.USE_SORTED_MATCH_TABLE) — enable it here so the path
+        # stays correct for future hardware.
+        monkeypatch.setattr(icp, "USE_SORTED_MATCH_TABLE", True)
+        r_sorted = icp.run_icp(cfg, src, tgt, kd_index=kd)
+        monkeypatch.setattr(icp, "_needs_colors", lambda c: True)
+        # kd_warm_start=False is behaviorally identical under RANDOM
+        # selection (warm never applies) but changes the static jit key,
+        # forcing a retrace that sees the monkeypatched color guard —
+        # without it the first run's cached executable would be reused
+        # and the comparison would be vacuous.
+        r_orig = icp.run_icp(
+            cfg.replace(kd_warm_start=False), src, tgt, kd_index=kd)
+        np.testing.assert_allclose(
+            np.asarray(r_sorted.pose), np.asarray(r_orig.pose), atol=1e-6)
+        assert np.array_equal(
+            np.asarray(r_sorted.trace.num_matches),
+            np.asarray(r_orig.trace.num_matches))
