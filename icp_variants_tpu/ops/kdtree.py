@@ -478,7 +478,7 @@ _PREFIX_GROUP = 8
 _SG_WIDTH = 8
 
 
-def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
+def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int, n_gate: int = 0):
     """Fused membership/ordering prefix for the bitmap search: per-query
     box lower bounds live only in VMEM (the (Nq, nc) lb matrix in HBM was
     ~half the XLA matcher's cost — scripts/evidence/warm_stage_log.txt), reduced in
@@ -511,6 +511,7 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
     def kernel(
         q_ref, binit_ref, bmin_ref, bmax_ref,
         member_ref, hot_ref, lbtile_ref, resid_ref, mask_ref,
+        *maybe_ranges_ref,
     ):
         for s in range(_PREFIX_GROUP):
             rows = slice(s * tile_q, (s + 1) * tile_q)
@@ -558,18 +559,46 @@ def _make_prefix_kernel(d: int, nc: int, tile_q: int, k: int):
                 jnp.left_shift(bits, shifts), axis=0, keepdims=True
             )
 
+            if n_gate > 0:
+                # Per-gate walk spans for the resident kernel, computed
+                # here instead of an XLA shift/compare/reduce chain over
+                # the HBM submask (the resident path's scalar-prefetch
+                # ranges): lane 2g = jmin_g, lane 2g+1 = jend_g.
+                r_sub = n_sub // n_gate
+                iota_nc = jax.lax.broadcasted_iota(jnp.int32, (1, nc), 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                row = jnp.zeros((1, 128), jnp.int32)
+                for g in range(n_gate):
+                    gm = jnp.max(
+                        bits[g * r_sub:(g + 1) * r_sub], axis=0,
+                        keepdims=True,
+                    )                                   # (1, nc) 0/1
+                    jmin = jnp.min(jnp.where(gm > 0, iota_nc, nc))
+                    jend = jnp.max(jnp.where(gm > 0, iota_nc + 1, 0))
+                    jend = jnp.maximum(jend, jmin)
+                    row = row + jmin * (lane == 2 * g).astype(
+                        jnp.int32
+                    ) + jend * (lane == 2 * g + 1).astype(jnp.int32)
+                maybe_ranges_ref[0][s:s + 1, :] = row
+
     return kernel
 
 
-def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
+def _radius_prefix(
+    q, binit, index, *, tile_q: int, k: int, interpret: bool,
+    n_gate: int = 0,
+):
     """Per-query-exact membership (top-k-capped when ``k > 0``), hot
     subset, per-tile min lower bounds, per-query certificate residual,
     and per-subgroup membership bit masks — one fused VMEM pass per group
     of query tiles. ``q`` is row/feature padded to a
     ``_PREFIX_GROUP * tile_q`` multiple, ``binit`` the per-query radii
-    (negative = frozen). Returns ``(member, hot, lb_tile, resid, mask)``;
-    member/hot (nqt, nc) bool, lb_tile (nqt, nc) f32, resid (Nq_pad, 1),
-    mask (nqt, nc) int32 subgroup bits."""
+    (negative = frozen). Returns
+    ``(member, hot, lb_tile, resid, mask, ranges)``; member/hot (nqt, nc)
+    bool, lb_tile (nqt, nc) f32, resid (Nq_pad, 1), mask (nqt, nc) int32
+    subgroup bits; ranges (nqt, 128) int32 per-gate [jmin, jend) lanes
+    when ``n_gate > 0`` (the resident kernel's scalar-prefetch walk
+    spans, computed in-kernel), else None."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -581,8 +610,25 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
     # Boxes transposed feature-major so blocks ride the 128-lane axis.
     bmin_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_min.T)
     bmax_t = jnp.zeros((f, nc), jnp.float32).at[:d].set(index.block_max.T)
-    member, hot, lb_tile, resid, mask = pl.pallas_call(
-        _make_prefix_kernel(d, nc, tile_q, k),
+    out_specs = [
+        pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+        pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+        pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+        pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+        pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+        jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+        jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
+        jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((nqt, nc), jnp.int32),
+    ]
+    if n_gate > 0:
+        out_specs.append(pl.BlockSpec((_PREFIX_GROUP, 128), lambda i: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nqt, 128), jnp.int32))
+    outs = pl.pallas_call(
+        _make_prefix_kernel(d, nc, tile_q, k, n_gate),
         grid=(nqt // _PREFIX_GROUP,),
         in_specs=[
             pl.BlockSpec((gq, f), lambda i: (i, 0)),
@@ -590,26 +636,16 @@ def _radius_prefix(q, binit, index, *, tile_q: int, k: int, interpret: bool):
             pl.BlockSpec((f, nc), lambda i: (0, 0)),
             pl.BlockSpec((f, nc), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
-            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
-            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
-            pl.BlockSpec((gq, 1), lambda i: (i, 0)),
-            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
-            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
-            jax.ShapeDtypeStruct((nqt, nc), jnp.float32),
-            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((nqt, nc), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(q, binit[:, None], bmin_t, bmax_t)
-    return member > 0.0, hot > 0.0, lb_tile, resid, mask
+    member, hot, lb_tile, resid, mask = outs[:5]
+    ranges = outs[5] if n_gate > 0 else None
+    return member > 0.0, hot > 0.0, lb_tile, resid, mask, ranges
 
 
 @functools.partial(
@@ -660,8 +696,20 @@ def _kd_bitmap_search(
             f"tile_q/{_SG_WIDTH} bits into int32 words — 256 is the "
             "maximum (tile_q=512 measured silently dropping memberships)"
         )
-    member, hot, lb_tile, resid, submask = _radius_prefix(
-        q, binit, index, tile_q=tile_q, k=k, interpret=interpret
+    if impl == "resident" and gate_width is None and 0 < k <= 2:
+        # Narrow-membership regimes (the approximate arm's k=1/2):
+        # gate=32 measured 0.861 vs gate=64's 1.076 ms/pair/iter at
+        # k=1 (scripts/evidence/approx_arm_log.txt); the exact k=4
+        # path keeps the swept 64 default.
+        gate_width = 32
+    if impl == "resident":
+        gw = knn.RESIDENT_GATE_WIDTH if gate_width is None else gate_width
+        n_gate = tile_q // gw
+    else:
+        n_gate = 0
+    member, hot, lb_tile, resid, submask, ranges = _radius_prefix(
+        q, binit, index, tile_q=tile_q, k=k, interpret=interpret,
+        n_gate=n_gate,
     )
     # No XLA-side lb ordering: the list construction (two 512-lane
     # scatters + cummin per tile) cost ~half the matcher
@@ -670,19 +718,13 @@ def _kd_bitmap_search(
     # (subgroup, block) on the prefix's membership bits, and prunes the
     # cold tail with per-subgroup frozen bounds read after the hot phase.
     if impl == "resident":
-        if gate_width is None and 0 < k <= 2:
-            # Narrow-membership regimes (the approximate arm's k=1/2):
-            # gate=32 measured 0.861 vs gate=64's 1.076 ms/pair/iter at
-            # k=1 (scripts/evidence/approx_arm_log.txt); the exact k=4
-            # path keeps the swept 64 default.
-            gate_width = 32
         pages, packed, _fits = _resident_layout(index)
         dist, idx = knn._run_resident_kernel(
             q, binit, hot, member & ~hot, lb_tile, submask, pages,
             float(max_distance),
             tile_q=tile_q, tile_t=index.pages.shape[2],
             n_features=d, interpret=interpret, gate_width=gate_width,
-            packed=packed,
+            packed=packed, ranges_rows=ranges,
         )
     else:
         dist, idx = knn._run_bitmap_kernel(

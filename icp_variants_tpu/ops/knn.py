@@ -1489,7 +1489,7 @@ def _make_resident_kernel(
 def _run_resident_kernel_flat(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
-    packed=False,
+    packed=False, ranges_rows=None,
 ):
     """Flat batched resident-kernel invocation (same operand preparation
     as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
@@ -1497,7 +1497,10 @@ def _run_resident_kernel_flat(
     (B, Nq_pad, 1) with PAIR-LOCAL sorted page indices.
 
     ``packed`` means ``pages`` is the two-blocks-per-page layout
-    (KDIndex.pages_packed, d <= 3): half the bulk copy bytes."""
+    (KDIndex.pages_packed, d <= 3): half the bulk copy bytes.
+    ``ranges_rows`` (B, nqt, 128) carries the per-gate [jmin, jend) walk
+    spans already computed by the prefix kernel (lane 2g / 2g+1); when
+    omitted they are rebuilt here in XLA from the submask."""
     b, nq_pad, f = q.shape
     nq_tiles = nq_pad // tile_q
     nc = hot.shape[2]
@@ -1509,14 +1512,13 @@ def _run_resident_kernel_flat(
         np.float32(max_distance) * np.float32(1.0 + 1e-6) + np.float32(1e-30)
     )
     quant_scale = float((1 << _LBQ_BITS) / bound_val)
-    lbq = jnp.clip(
-        (lb_tile * jnp.float32(quant_scale)).astype(jnp.int32),
-        0, (1 << (_LBQ_BITS + 1)) - 1,
+    # The resident kernel reads ONLY the mask row (row 1) of each code
+    # page — no hot/cold tag codes (the bitmap kernel's walk needs those;
+    # this kernel's gating is the per-gate lists + submask bits).
+    rows = jnp.stack(
+        [jnp.zeros_like(submask, jnp.int32), submask.astype(jnp.int32)],
+        axis=2,
     )
-    code = jnp.where(
-        hot, 1, jnp.where(cold, (lbq << 2) | 2, 0)
-    ).astype(jnp.int32)
-    rows = jnp.stack([code, submask.astype(jnp.int32)], axis=2)
     code8 = jnp.pad(
         rows, ((0, 0), (0, 0), (0, 6), (0, nc_pad - nc))
     ).reshape(b * nq_tiles, 8, nc_pad)
@@ -1528,19 +1530,24 @@ def _run_resident_kernel_flat(
     # was 0.23 ms/pair of the k=1 kernel with tile-wide spans,
     # scripts/evidence/approx_arm_log.txt).
     n_gate = tile_q // gate_width
-    r_bits = gate_width // SG_WIDTH
-    r_mask = (1 << r_bits) - 1
-    sm = submask.astype(jnp.int32)
-    gate_member = jnp.stack(
-        [((sm >> (g * r_bits)) & r_mask) != 0 for g in range(n_gate)],
-        axis=2,
-    )                                              # (B, nqt, n_gate, nc)
-    iota = jnp.arange(nc, dtype=jnp.int32)
-    jmin = jnp.min(jnp.where(gate_member, iota, nc), axis=3)
-    jend = jnp.max(jnp.where(gate_member, iota + 1, 0), axis=3)
-    ranges = jnp.stack(
-        [jmin, jnp.maximum(jend, jmin)], axis=-1
-    ).reshape(2 * b * nq_tiles * n_gate)
+    if ranges_rows is not None:
+        ranges = ranges_rows[:, :, : 2 * n_gate].reshape(
+            2 * b * nq_tiles * n_gate
+        )
+    else:
+        r_bits = gate_width // SG_WIDTH
+        r_mask = (1 << r_bits) - 1
+        sm = submask.astype(jnp.int32)
+        gate_member = jnp.stack(
+            [((sm >> (g * r_bits)) & r_mask) != 0 for g in range(n_gate)],
+            axis=2,
+        )                                          # (B, nqt, n_gate, nc)
+        iota = jnp.arange(nc, dtype=jnp.int32)
+        jmin = jnp.min(jnp.where(gate_member, iota, nc), axis=3)
+        jend = jnp.max(jnp.where(gate_member, iota + 1, 0), axis=3)
+        ranges = jnp.stack(
+            [jmin, jnp.maximum(jend, jmin)], axis=-1
+        ).reshape(2 * b * nq_tiles * n_gate)
 
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
@@ -1615,20 +1622,22 @@ def _run_resident_kernel_flat(
 def _resident_search_fn(
     tile_q: int, tile_t: int, n_features: int,
     max_distance: float, gate_width: int, interpret: bool,
-    packed: bool = False,
+    packed: bool = False, has_ranges: bool = False,
 ):
     """Build (and cache) the custom-vmap resident searcher (same batching
     design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
-    grid in one launch)."""
+    grid in one launch). ``has_ranges`` adds the prefix-computed per-gate
+    walk-span operand."""
     kw = dict(
         tile_q=tile_q, tile_t=tile_t, n_features=n_features,
         gate_width=gate_width, interpret=interpret, packed=packed,
     )
 
-    def search(q, binit, hot, cold, lb_tile, submask, pages):
+    def search(q, binit, hot, cold, lb_tile, submask, pages, *ranges):
+        rr = ranges[0][None] if has_ranges else None
         dist, idx = _run_resident_kernel_flat(
             q[None], binit[None], hot[None], cold[None], lb_tile[None],
-            submask[None], pages[None], max_distance, **kw
+            submask[None], pages[None], max_distance, ranges_rows=rr, **kw
         )
         return dist[0], idx[0]
 
@@ -1640,7 +1649,13 @@ def _resident_search_fn(
             x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
             for x, b in zip(args, in_batched)
         ]
-        out = _run_resident_kernel_flat(*flat, max_distance, **kw)
+        if has_ranges:
+            *flat, rr = flat
+        else:
+            rr = None
+        out = _run_resident_kernel_flat(
+            *flat, max_distance, ranges_rows=rr, **kw
+        )
         return out, (True, True)
 
     return search_vm
@@ -1649,17 +1664,22 @@ def _resident_search_fn(
 def _run_resident_kernel(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, interpret, gate_width=None,
-    packed=False,
+    packed=False, ranges_rows=None,
 ):
     """Resident-pages search over one pair (batches via the custom vmap
     rule: the pair axis joins the kernel grid). ``pages`` must be the
-    packed two-blocks-per-page table when ``packed`` is set."""
+    packed two-blocks-per-page table when ``packed`` is set;
+    ``ranges_rows`` (nqt, 128) carries prefix-computed per-gate walk
+    spans (see _run_resident_kernel_flat)."""
     fn = _resident_search_fn(
         tile_q, tile_t, n_features, float(max_distance),
         RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
-        interpret, packed,
+        interpret, packed, ranges_rows is not None,
     )
-    return fn(q, binit, hot, cold, lb_tile, submask, pages)
+    args = (q, binit, hot, cold, lb_tile, submask, pages)
+    if ranges_rows is not None:
+        args = args + (ranges_rows,)
+    return fn(*args)
 
 
 def nn_search_pruned_xla(

@@ -205,11 +205,19 @@ def _compact_cloud(
 
 
 def _warm_applies(cfg: ICPConfig) -> bool:
-    """Whether warm-start kd matching is profitable for this selection
-    regime: dense SELECT_ALL only (see ICPConfig.kd_warm_start — sparse
-    compacted selection measured slower warm than cold in every hardware
-    A/B, dense measured faster)."""
-    return cfg.kd_warm_start and cfg.selection == Selection.ALL
+    """Whether warm-start kd matching is profitable for this config:
+    dense SELECT_ALL only (see ICPConfig.kd_warm_start — sparse compacted
+    selection measured slower warm than cold in every hardware A/B, dense
+    measured faster), and only on the EXACT arm — under the approximate
+    arm (matching_checks > 0) the top-k cap already bounds the work the
+    warm radii used to bound, leaving the cache gather/scatter as pure
+    overhead (color tracker at checks=16: 0.794 frames/s cold vs 0.712
+    warm, scripts/evidence/approx_arm_log.txt)."""
+    return (
+        cfg.kd_warm_start
+        and cfg.selection == Selection.ALL
+        and cfg.matching_checks == 0
+    )
 
 
 def _needs_colors(cfg: ICPConfig) -> bool:

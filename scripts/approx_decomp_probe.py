@@ -79,7 +79,7 @@ def main():
             binit = jnp.pad(
                 jnp.full((qq.shape[0],), bound, jnp.float32),
                 (0, qp.shape[0] - qq.shape[0]), constant_values=-1.0)
-            member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+            member, hot, lb_tile, resid, submask, _rng = kdtree._radius_prefix(
                 qp, binit, kk, tile_q=tile_q, k=k, interpret=False)
             dist, idx = knn._run_resident_kernel_flat(
                 qp[None], binit[None], hot[None], (member & ~hot)[None],
@@ -195,7 +195,7 @@ def followup():
             binit = jnp.pad(
                 jnp.full((qq.shape[0],), bound, jnp.float32),
                 (0, qp.shape[0] - qq.shape[0]), constant_values=-1.0)
-            member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+            member, hot, lb_tile, resid, submask, _rng = kdtree._radius_prefix(
                 qp, binit, kk, tile_q=tile_q, k=k, interpret=False)
             dist, idx = knn._run_resident_kernel_flat(
                 qp[None], binit[None], hot[None], (member & ~hot)[None],

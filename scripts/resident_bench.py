@@ -244,7 +244,7 @@ def probe_decomp():
             binit = jnp.pad(
                 jnp.full((qq.shape[0],), bound, jnp.float32),
                 (0, qp.shape[0] - qq.shape[0]), constant_values=-1.0)
-            member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+            member, hot, lb_tile, resid, submask, _rng = kdtree._radius_prefix(
                 qp, binit, kk, tile_q=128, k=4, interpret=False)
             dist, idx = knn._run_resident_kernel_flat(
                 qp[None], binit[None], hot[None], (member & ~hot)[None],

@@ -119,7 +119,7 @@ class TestProfiling:
         binit = jnp.pad(
             jnp.full((q.shape[0],), bound, jnp.float32),
             (0, qp.shape[0] - q.shape[0]), constant_values=-1.0)
-        member, hot, lb_tile, resid, submask = kdtree._radius_prefix(
+        member, hot, lb_tile, resid, submask, _rng = kdtree._radius_prefix(
             qp, binit, kd, tile_q=tq, k=kdtree.K_DEFAULT, interpret=True)
         assert nq_pad == qp.shape[0]
         assert visited == int(np.asarray(member).sum())
