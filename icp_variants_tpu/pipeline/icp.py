@@ -108,6 +108,17 @@ def _solve(
     )
 
 
+# Iteration-scan unroll factor: the XLA while-loop's per-iteration
+# bookkeeping (branch + trace dynamic-update-slices) showed up as a
+# ~0.9-1.1 ms scan floor per iteration-BATCH in the stop-after profile;
+# unrolling amortizes it over several pipeline iterations per loop trip.
+# Hardware sweep at checks=16 bench shapes: 1 -> 20.60, 2 -> 20.76,
+# 5 -> 21.66, 10 -> 21.78, 25 -> 21.89 pairs/s — 5 takes most of the win
+# at ~1/6 the program growth (scripts/evidence/approx_arm_log.txt).
+# Applied on the real backend only: CPU test meshes keep unroll 1 so the
+# suite's hundreds of scan compiles stay light (numerics are identical).
+SCAN_UNROLL = 5
+
 # Sorted-domain match-table shortcut (see _run_icp_jit): removes the
 # page_orig row gather from the scan, but measured ~7% SLOWER end-to-end
 # (19.2 vs 20.9 pairs/s, interleaved A/B in
@@ -614,8 +625,12 @@ def _run_icp_jit(
             new_pose = anderson.vec_to_pose(x_next)
         return (new_pose, new_cache, aa), rec
 
+    unroll = (
+        SCAN_UNROLL if jax.default_backend() in ("tpu", "axon") else 1
+    )
     (final_pose, _, _), trace = jax.lax.scan(
-        body, (init_pose, cache0, aa0), (strides, keys)
+        body, (init_pose, cache0, aa0), (strides, keys),
+        unroll=unroll,
     )
     return ICPResult(pose=final_pose, trace=trace)
 
