@@ -506,7 +506,11 @@ def bench_color_multires(state, **overrides):
     )
 
     def run(seed):
-        res = icp.run_icp_batch(
+        # Segmented multires driver: coarse pyramid levels run at their
+        # own sliced capacity instead of full-capacity masked (the
+        # in-scan path paid ~33 ms/frame/iter for <2%-occupancy coarse
+        # iterations — scripts/evidence/batched_stage_log.txt).
+        res = icp.run_icp_batch_multires_segmented(
             cfg, sources, targets, key=jax.random.PRNGKey(seed),
             num_source_points=TUM_W * TUM_H, kd_indexes=kd_indexes)
         jax.device_get(res.pose)

@@ -40,6 +40,13 @@ PAD_COORD = 1.0e9
 BIG = 3.0e13
 BLOCK = 16          # pixels per block side
 CHUNK = 32768       # queries per lax.map step
+# Gather the nb x nb block neighborhood as ONE contiguous 2-D slice per
+# query (vmapped dynamic_slice over a (hb, wb*3*B^2) view) instead of
+# nb^2 separate block-row gathers. Measured 3x SLOWER on hardware
+# (0.355 vs 1.16 frames/s — the batched dynamic_slice lowers to a
+# per-query serialized slice path, losing to the plain row gather;
+# scripts/evidence/approx_arm_log.txt). Kept for the record; OFF.
+SLICED_GATHER = False
 
 
 @functools.partial(
@@ -119,7 +126,20 @@ def projective_match(
             + (c0[:, None, None] + offs[None, :])
         ).reshape(m, nb * nb)                           # (m, K)
 
-        cand = blocks[bids]                             # (m, K, 3*B^2) rows
+        if SLICED_GATHER:
+            # One contiguous (nb, nb*3*B^2) slice per query from the
+            # (hb, wb*3*B^2) row view — the nb^2 neighborhood blocks are
+            # row-adjacent, so this replaces nb^2 row gathers with one
+            # two-dim sliced gather.
+            wide = blocks.reshape(hb, wb * 3 * b2)
+            cand = jax.vmap(
+                lambda r, c: jax.lax.dynamic_slice(
+                    wide, (r, c * (3 * b2)), (nb, nb * 3 * b2)
+                )
+            )(r0, c0)                                   # (m, nb, nb*3*B^2)
+            cand = cand.reshape(m, nb * nb, 3 * b2)
+        else:
+            cand = blocks[bids]                         # (m, K, 3*B^2) rows
         d2 = None
         for c in range(3):
             diff = cand[:, :, c * b2:(c + 1) * b2] - q[:, c, None, None]

@@ -473,9 +473,13 @@ def _iteration(
         src_normals=src_nrm,
         tgt_normals=tgt_rows[:, 3:6],
         src_colors=source.colors,
+        # Per-match target colors feed ONLY the COLORS weighting; under
+        # color-ICP the color signal rides the 6-dim match features
+        # (baked into target_feats), so gathering 307k u8 rows per
+        # iteration for the dense tracker was pure waste.
         tgt_colors=(
             target.colors[idx]
-            if _needs_colors(cfg)
+            if cfg.weighting == Weighting.COLORS
             else jnp.zeros((idx.shape[0], 4), target.colors.dtype)
         ),
         valid=valid,
@@ -595,7 +599,8 @@ def _run_icp_jit(
         and kd_index is not None
         and cfg.matching_checks > 0
         and not _warm_applies(cfg)
-        and not _needs_colors(cfg)
+        and cfg.weighting != Weighting.COLORS
+        and not cfg.color_icp
     ):
         po = kd_index.page_orig
         rows = tgt_table[jnp.clip(po, 0, tgt_table.shape[0] - 1)]
@@ -803,6 +808,156 @@ def run_icp_batch(
 def stack_clouds(clouds) -> Cloud:
     """Stack equal-capacity Clouds along a new leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+
+
+def run_icp_multires_segmented(
+    cfg: ICPConfig,
+    source: Cloud,
+    target: Cloud,
+    init_pose=None,
+    *,
+    gt_source_points=None,
+    gt_target_points=None,
+    gt_valid=None,
+    key=None,
+    run_benchmark: bool = False,
+    num_source_points: int | None = None,
+    kd_index: kdtree.KDIndex | None = None,
+) -> ICPResult:
+    """Single-pair counterpart of :func:`run_icp_batch_multires_segmented`
+    (per-level executables for dense multires; falls through to
+    :func:`run_icp` for any other configuration)."""
+    if not (cfg.multi_resolution and cfg.selection == Selection.ALL):
+        return run_icp(
+            cfg, source, target, init_pose,
+            gt_source_points=gt_source_points,
+            gt_target_points=gt_target_points, gt_valid=gt_valid, key=key,
+            run_benchmark=run_benchmark,
+            num_source_points=num_source_points, kd_index=kd_index,
+        )
+    res = run_icp_batch_multires_segmented(
+        cfg, stack_clouds([source]), stack_clouds([target]),
+        None if init_pose is None else jnp.asarray(
+            init_pose, jnp.float32)[None],
+        key=key, num_source_points=num_source_points,
+        kd_indexes=(
+            kdtree.stack_kd_indexes([kd_index])
+            if kd_index is not None else None
+        ),
+        run_benchmark=run_benchmark,
+        gt_source_points=(
+            None if gt_source_points is None
+            else jnp.asarray(gt_source_points, jnp.float32)[None]
+        ),
+        gt_target_points=(
+            None if gt_target_points is None
+            else jnp.asarray(gt_target_points, jnp.float32)[None]
+        ),
+        gt_valid=(
+            None if gt_valid is None
+            else jnp.asarray(gt_valid, bool)[None]
+        ),
+    )
+    return ICPResult(
+        pose=res.pose[0], trace=jax.tree.map(lambda x: x[0], res.trace)
+    )
+
+
+def _stride_groups(strides: np.ndarray):
+    """Consecutive (stride, count) runs of a multires schedule."""
+    groups = []
+    for s in np.asarray(strides).tolist():
+        if groups and groups[-1][0] == s:
+            groups[-1][1] += 1
+        else:
+            groups.append([int(s), 1])
+    return [(s, c) for s, c in groups]
+
+
+def _slice_clouds_stride(clouds: Cloud, stride: int) -> Cloud:
+    """The stride-lattice subclouds (rows i with i % stride == 0, batch
+    axis leading) as COMPACT clouds: the in-scan coarse_stride_mask's
+    membership is a deterministic lattice under SELECT_ALL, so coarse
+    levels can run at their own (much smaller) capacity instead of
+    full-capacity masked. The finite-normal part of coarse_stride_mask
+    folds into `valid`."""
+    finite = jnp.isfinite(clouds.normals).all(axis=2)
+    return Cloud(
+        points=clouds.points[:, ::stride],
+        normals=clouds.normals[:, ::stride],
+        colors=clouds.colors[:, ::stride],
+        valid=(clouds.valid & finite)[:, ::stride],
+    )
+
+
+def run_icp_batch_multires_segmented(
+    cfg: ICPConfig,
+    sources: Cloud,
+    targets: Cloud,
+    init_poses=None,
+    *,
+    key=None,
+    num_source_points: int | None = None,
+    kd_indexes: kdtree.KDIndex | None = None,
+    run_benchmark: bool = False,
+    gt_source_points=None,
+    gt_target_points=None,
+    gt_valid=None,
+) -> ICPResult:
+    """Multi-resolution registration with PER-LEVEL executables — the
+    dense (SELECT_ALL) pyramid driver.
+
+    The in-scan multires path keeps one executable by stride-MASKING the
+    full-capacity cloud, so a stride-64 coarse iteration pays the same
+    full-capacity matching/weighting/solve as a stride-1 iteration (the
+    dense TUM tracker's coarse 11 of 35 iterations cost ~33 ms/frame each
+    for <2% of the points — scripts/evidence/batched_stage_log.txt).
+    Under SELECT_ALL the stride membership is a deterministic lattice, so
+    each level here runs as its own compiled program on the stride-SLICED
+    source (points[::stride] — a slice, not a gather), threading the pose
+    across levels; the target side (and its kd index) is shared
+    unchanged. Level results are identical to the in-scan path up to f32
+    reduction order (pinned by tests); per-level compiles are cached like
+    any other shape.
+
+    Only meaningful for ``multi_resolution`` + ``Selection.ALL`` configs;
+    other configs fall through to :func:`run_icp_batch`.
+    """
+    if not (cfg.multi_resolution and cfg.selection == Selection.ALL):
+        return run_icp_batch(
+            cfg, sources, targets, init_poses, key=key,
+            num_source_points=num_source_points, kd_indexes=kd_indexes,
+            run_benchmark=run_benchmark,
+            gt_source_points=gt_source_points,
+            gt_target_points=gt_target_points, gt_valid=gt_valid,
+        )
+    b = sources.points.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if init_poses is None:
+        init_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    if num_source_points is None:
+        num_source_points = int(sources.points.shape[1])
+    strides = np.asarray(cloud_lib.multires_stride_schedule(
+        num_source_points, cfg.n_iterations, True,
+        cfg.multi_resolution_min_points,
+    ))
+    poses = jnp.asarray(init_poses, jnp.float32)
+    traces = []
+    for li, (stride, count) in enumerate(_stride_groups(strides)):
+        src_l = _slice_clouds_stride(sources, stride)
+        cfg_l = cfg.replace(multi_resolution=False, n_iterations=count)
+        res = run_icp_batch(
+            cfg_l, src_l, targets, poses,
+            key=jax.random.fold_in(key, li),
+            kd_indexes=kd_indexes, run_benchmark=run_benchmark,
+            gt_source_points=gt_source_points,
+            gt_target_points=gt_target_points, gt_valid=gt_valid,
+        )
+        poses = res.pose
+        traces.append(res.trace)
+    trace = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *traces)
+    return ICPResult(pose=poses, trace=trace)
 
 
 # Below this size the kd build + extra program outweigh the candidate

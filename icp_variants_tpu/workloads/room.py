@@ -145,7 +145,11 @@ def reconstruct_room(
             )
         )
 
-        res = icp.run_icp(
+        # Dense multires configs route through the segmented per-level
+        # driver (coarse pyramid levels at their own sliced capacity —
+        # the bench'd production path); everything else falls through to
+        # the one-executable in-scan runner inside.
+        res = icp.run_icp_multires_segmented(
             cfg, source, target,
             init_pose=current_camera_to_world,
             gt_source_points=src_pts,

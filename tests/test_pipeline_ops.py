@@ -183,3 +183,81 @@ class TestRejection:
         n = jnp.asarray([[1.0, 0, 0]], jnp.float32)
         out = rejection.normal_angle_mask(n, n, jnp.zeros((1,), bool))
         assert not bool(out[0])
+
+
+class TestSegmentedMultires:
+    def test_segmented_matches_in_scan(self):
+        """run_icp_batch_multires_segmented (per-level executables over
+        stride-SLICED sources) must reproduce the in-scan multires path:
+        same membership lattice, same pose trajectory up to f32
+        reduction order."""
+        import jax
+
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import kdtree, normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        rng = np.random.default_rng(40)
+        clouds_s, clouds_t, kds = [], [], []
+        for b in range(2):
+            xy = rng.uniform(-2, 2, (3000, 2))
+            z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+            tgt_np = np.column_stack([xy, z]).astype(np.float32)
+            src_np = tgt_np + np.array([0.04, -0.02, 0.01], np.float32)
+            col = np.clip(
+                127 + 120 * np.sin(3 * tgt_np[:, :1] + np.arange(4)), 0, 255
+            ).astype(np.float32)
+            src = from_numpy(src_np, colors=col, morton_order=True)
+            tgt = from_numpy(tgt_np, colors=col, morton_order=True)
+            src = src._replace(
+                normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+            tgt = tgt._replace(
+                normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+            clouds_s.append(src)
+            clouds_t.append(tgt)
+            kds.append(kdtree.build_kd_index(
+                np.asarray(tgt.points), np.asarray(tgt.valid)))
+        sources = icp.stack_clouds(clouds_s)
+        targets = icp.stack_clouds(clouds_t)
+        kd = kdtree.stack_kd_indexes(kds)
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8, multi_resolution=True,
+        )
+        kw = dict(num_source_points=3000, kd_indexes=kd,
+                  key=jax.random.PRNGKey(3))
+        r_scan = icp.run_icp_batch(cfg, sources, targets, **kw)
+        r_seg = icp.run_icp_batch_multires_segmented(
+            cfg, sources, targets, **kw)
+        assert np.asarray(r_seg.trace.rmse).shape == (
+            np.asarray(r_scan.trace.rmse).shape)
+        np.testing.assert_allclose(
+            np.asarray(r_seg.pose), np.asarray(r_scan.pose), atol=5e-5)
+        # Identical match counts per iteration: the lattice membership is
+        # the same point set in both drivers.
+        np.testing.assert_array_equal(
+            np.asarray(r_seg.trace.num_matches),
+            np.asarray(r_scan.trace.num_matches))
+
+    def test_falls_through_for_non_dense(self):
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer, Selection,
+        )
+
+        rng = np.random.default_rng(41)
+        t = rng.uniform(-3, 3, (2000, 3)).astype(np.float32)
+        s = t + 0.02
+        sources = icp.stack_clouds([from_numpy(s, morton_order=True)])
+        targets = icp.stack_clouds([from_numpy(t, morton_order=True)])
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_POINT, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=4,
+            selection=Selection.RANDOM, selection_proba=0.5)
+        res = icp.run_icp_batch_multires_segmented(cfg, sources, targets)
+        assert np.isfinite(np.asarray(res.pose)).all()
+        assert np.asarray(res.trace.rmse).shape == (1, 4)
