@@ -416,7 +416,7 @@ def prepare_tum_state():
         depth, color = synth_depth_frame(i)
         src_ds.append(rgbd.cloud_from_depth(
             depth, color, K, eye, keep_original_size=False,
-            downsample_factor=8, capacity=cap // 8))
+            downsample_factor=8, capacity=cap // 8, morton_order=True))
         src_full.append(rgbd.cloud_from_depth(
             depth, color, K, eye, keep_original_size=True, capacity=cap))
     return {

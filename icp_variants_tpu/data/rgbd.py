@@ -29,6 +29,7 @@ def cloud_from_depth(
     downsample_factor: int = 1,
     max_distance: float = 0.1,
     capacity: int | None = None,
+    morton_order: bool = False,
 ) -> Cloud:
     """Build a padded Cloud from an RGB-D frame.
 
@@ -37,6 +38,13 @@ def cloud_from_depth(
     where point OR normal is invalid are compacted away on the host
     (PointCloud.h:149-164). ``downsample_factor`` strides pixels in
     linearized order exactly like the reference.
+
+    ``morton_order`` (compacted path only) Z-orders the surviving rows:
+    spatially-coherent query subgroups keep the resident projective
+    kernel's per-subgroup membership rects tight (raster-compacted
+    stride-8 rows span ~64 px per 8 queries — 21 member blocks per
+    subgroup instead of ~9). Row order is free under SELECT_ALL
+    matching; only f32 reduction order shifts.
     """
     extrinsics_inv = np.linalg.inv(np.asarray(extrinsics, np.float32))
     pts, nrm, valid_pt, valid_nm = normals_ops.backproject_depth(
@@ -64,5 +72,6 @@ def cloud_from_depth(
 
     keep = valid_pt & valid_nm
     return cloud_lib.from_numpy(
-        pts[keep], normals=nrm[keep], colors=cols[keep], capacity=capacity
+        pts[keep], normals=nrm[keep], colors=cols[keep], capacity=capacity,
+        morton_order=morton_order,
     )

@@ -1275,7 +1275,7 @@ def resident_fits(nc: int, tile_t: int, d: int | None = None) -> bool:
 def _make_resident_kernel(
     tile_t: int, nc_real: int, nqt: int, n_features: int,
     quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
-    packed: bool = False,
+    packed: bool = False, pixel_window=None,
 ):
     """Resident-pages search kernel (single-phase): grid = (pair, query
     tile); the first tile of each pair bulk-copies the pair's full page
@@ -1297,7 +1297,14 @@ def _make_resident_kernel(
 
     ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = span
     scan without distance compute, 2 = also skip the span scan (copy +
-    code DMA only). Probe results are NOT valid matches."""
+    code DMA only). Probe results are NOT valid matches.
+
+    ``pixel_window`` = ``(window, width, height, wb, b)`` turns the
+    kernel into the PROJECTIVE window search (ops/projective.py): each
+    page holds one b x b pixel block's coordinates, query columns 3/4
+    carry the projected pixel center (u0, v0) as f32, and every
+    candidate lane is masked by the exact +-window pixel test before the
+    running min (NearestNeighbor.h:385-404 semantics)."""
 
     n_gate = tile_q // gate_width
     r = gate_width // SG_WIDTH          # SG bits per gate
@@ -1440,9 +1447,18 @@ def _make_resident_kernel(
         # written back to the output refs once per gate: the per-region
         # VMEM read-modify-write was measured as part of a ~0.2 us/region
         # fixed cost that dominated fine gate widths.
+        if pixel_window is not None:
+            win, img_w, img_h, wb_blocks, bpx = pixel_window
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_t), 1)
+            su = lane % bpx                     # within-block pixel col
+            sv = lane // bpx                    # within-block pixel row
+
         for g in range(n_gate):
             rows = slice(g * gate_width, (g + 1) * gate_width)
             qg = [q_ref[rows, c:c + 1] for c in range(n_features)]
+            if pixel_window is not None:
+                u0 = q_ref[rows, 3:4]           # projected pixel center
+                v0 = q_ref[rows, 4:5]
 
             def make_body(g, qg, lst, row_off, blk_off):
                 def body(k, carry):
@@ -1454,6 +1470,20 @@ def _make_resident_kernel(
                         d2 = d2 + (
                             qg[c] - t[row_off + c:row_off + c + 1, :]
                         ) ** 2
+                    if pixel_window is not None:
+                        # Exact +-window pixel mask: lane -> image pixel
+                        # from the block id + within-block offset.
+                        pu = (pid % wb_blocks) * bpx + su   # (1, tile_t)
+                        pv = (pid // wb_blocks) * bpx + sv
+                        puf = pu.astype(jnp.float32)
+                        pvf = pv.astype(jnp.float32)
+                        inwin = (
+                            (jnp.abs(puf - u0) <= win)
+                            & (jnp.abs(pvf - v0) <= win)
+                            & (pu < img_w)
+                            & (pv < img_h)
+                        )
+                        d2 = jnp.where(inwin, d2, jnp.float32(3.0e13))
                     local_min = jnp.min(d2, axis=1, keepdims=True)
                     sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
                     # PAIR-LOCAL sorted page index (callers map via their
@@ -1489,7 +1519,7 @@ def _make_resident_kernel(
 def _run_resident_kernel_flat(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
-    packed=False, ranges_rows=None,
+    packed=False, ranges_rows=None, pixel_window=None,
 ):
     """Flat batched resident-kernel invocation (same operand preparation
     as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
@@ -1551,7 +1581,7 @@ def _run_resident_kernel_flat(
 
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
-        probe, packed=packed,
+        probe, packed=packed, pixel_window=pixel_window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1622,7 +1652,7 @@ def _run_resident_kernel_flat(
 def _resident_search_fn(
     tile_q: int, tile_t: int, n_features: int,
     max_distance: float, gate_width: int, interpret: bool,
-    packed: bool = False, has_ranges: bool = False,
+    packed: bool = False, has_ranges: bool = False, pixel_window=None,
 ):
     """Build (and cache) the custom-vmap resident searcher (same batching
     design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
@@ -1631,6 +1661,7 @@ def _resident_search_fn(
     kw = dict(
         tile_q=tile_q, tile_t=tile_t, n_features=n_features,
         gate_width=gate_width, interpret=interpret, packed=packed,
+        pixel_window=pixel_window,
     )
 
     def search(q, binit, hot, cold, lb_tile, submask, pages, *ranges):
@@ -1664,7 +1695,7 @@ def _resident_search_fn(
 def _run_resident_kernel(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, interpret, gate_width=None,
-    packed=False, ranges_rows=None,
+    packed=False, ranges_rows=None, pixel_window=None,
 ):
     """Resident-pages search over one pair (batches via the custom vmap
     rule: the pair axis joins the kernel grid). ``pages`` must be the
@@ -1674,7 +1705,7 @@ def _run_resident_kernel(
     fn = _resident_search_fn(
         tile_q, tile_t, n_features, float(max_distance),
         RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
-        interpret, packed, ranges_rows is not None,
+        interpret, packed, ranges_rows is not None, pixel_window,
     )
     args = (q, binit, hot, cold, lb_tile, submask, pages)
     if ranges_rows is not None:

@@ -397,6 +397,18 @@ def _iteration(
     anchor = src_pts[jnp.argmax(sel_mask)]
     src_pts = jnp.where(sel_mask[:, None], src_pts, anchor)
     src_nrm = se3.transform_normals(source.normals, pose)
+    if stop_after is not None:
+        # Anti-LICM for the stop-after probes: under SELECT_ALL with the
+        # pose held constant (probes never update it), the whole matcher
+        # is loop-invariant and XLA hoists it out of the scan — the
+        # projective profile reported a 24 ms matcher as 0.9 ms. A
+        # key-derived sub-femtometer perturbation keeps each iteration's
+        # work real without affecting what is measured.
+        eps = jnp.mod(
+            jnp.sum(jax.random.key_data(key).astype(jnp.float32)) * 1e-12,
+            jnp.float32(1e-9),
+        )
+        src_pts = src_pts + eps
     if stop_after == "selection":
         return pose, match_cache, _probe_trace(
             jnp.sum(src_pts) + jnp.sum(src_nrm)
@@ -405,10 +417,7 @@ def _iteration(
     # --- stage 2: matching --------------------------------------------------
     match_table = tgt_table  # original-row domain unless the kd shortcut
     if cfg.matching == Matching.PROJECTIVE:
-        idx, _d2, valid = projective.projective_match(
-            src_pts,
-            target.points,
-            target.valid,
+        proj_kwargs = dict(
             fx=cfg.projective_fx,
             fy=cfg.projective_fy,
             cx=cfg.projective_cx,
@@ -418,11 +427,30 @@ def _iteration(
             window=cfg.projective_window,
             max_distance=cfg.max_distance,
             query_mask=sel_mask,
-            **(
-                {"chunk": cfg.projective_chunk}
-                if cfg.projective_chunk else {}
-            ),
         )
+        if (
+            jax.default_backend() in ("tpu", "axon")
+            and projective._resident_fits_projective(
+                cfg.projective_width, cfg.projective_height,
+                projective.BLOCK,
+            )
+        ):
+            # Resident-image Pallas kernel: the whole block table lives
+            # in VMEM, replacing ~9 HBM row gathers per query per
+            # iteration (the XLA window scan was ~23 ms/frame/iter at
+            # 640x480 — the gather-issue wall; parity pinned by
+            # tests/test_projective.py::TestResidentProjective).
+            idx, _d2, valid = projective.projective_match_resident(
+                src_pts, target.points, target.valid, **proj_kwargs,
+            )
+        else:
+            idx, _d2, valid = projective.projective_match(
+                src_pts, target.points, target.valid, **proj_kwargs,
+                **(
+                    {"chunk": cfg.projective_chunk}
+                    if cfg.projective_chunk else {}
+                ),
+            )
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)
         if kd_index is not None and target_index is not None:

@@ -105,8 +105,11 @@ def reconstruct_room(
                           capacity=sensor.width * sensor.height)
         num_source_points = sensor.width * sensor.height
     else:
+        # Morton-ordered compacted rows keep the resident projective
+        # kernel's per-subgroup membership rects tight (data/rgbd.py).
         src_kwargs = dict(keep_original_size=False, downsample_factor=8,
-                          capacity=sensor.width * sensor.height // 8)
+                          capacity=sensor.width * sensor.height // 8,
+                          morton_order=True)
         num_source_points = None  # valid count (compacted cloud)
 
     result = RoomRunResult()

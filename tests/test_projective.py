@@ -71,3 +71,46 @@ class TestProjectiveMatch:
             **cam, max_distance=0.01, query_mask=mask,
         )
         assert not bool(jnp.any(ok))
+
+
+class TestResidentProjective:
+    def test_resident_matches_xla_window_scan(self):
+        """projective_match_resident (interpret mode) must reproduce the
+        XLA window scan: same candidate set, same distances; indices may
+        differ only on exact f32 ties."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from icp_variants_tpu.ops import projective
+
+        W, H = 96, 64
+        fx = fy = 80.0
+        cx, cy = (W - 1) / 2, (H - 1) / 2
+        rng = np.random.default_rng(5)
+        vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        z = 2.0 + 0.1 * np.sin(uu / 7.0) * np.cos(vv / 5.0)
+        x = (uu - cx) / fx * z
+        y = (vv - cy) / fy * z
+        tgt = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+        tvalid = rng.random(W * H) > 0.1
+        q = tgt[rng.integers(0, W * H, 700)] + rng.normal(
+            0, 0.01, (700, 3)).astype(np.float32)
+        q = q.astype(np.float32)
+        qmask = rng.random(700) > 0.1
+        kw = dict(fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H,
+                  window=12, max_distance=0.1)
+        i_x, d2_x, v_x = projective.projective_match(
+            jnp.asarray(q), jnp.asarray(tgt), jnp.asarray(tvalid),
+            query_mask=jnp.asarray(qmask), **kw)
+        assert projective._resident_fits_projective(W, H, projective.BLOCK)
+        i_r, d2_r, v_r = projective.projective_match_resident(
+            jnp.asarray(q), jnp.asarray(tgt), jnp.asarray(tvalid),
+            query_mask=jnp.asarray(qmask), interpret=True, **kw)
+        i_x, d2_x, v_x = map(np.asarray, (i_x, d2_x, v_x))
+        i_r, d2_r, v_r = map(np.asarray, (i_r, d2_r, v_r))
+        np.testing.assert_array_equal(v_r, v_x)
+        w = v_x
+        assert w.mean() > 0.5
+        np.testing.assert_allclose(d2_r[w], d2_x[w], rtol=1e-6, atol=1e-7)
+        agree = (i_r[w] == i_x[w])
+        assert agree.mean() > 0.99, agree.mean()
