@@ -60,7 +60,7 @@ def stage_prefix(queries, radius, index):
     qp = padq(queries)
     bound_val = jnp.float32(10.0)*(1+1e-6)+1e-30
     binit = jnp.pad(jnp.minimum(radius, bound_val), (0, qp.shape[0]-queries.shape[0]), constant_values=-1.0)
-    member, hot, lb_tile = kdtree._radius_prefix(qp, binit, index, tile_q=TQ, interpret=False)
+    member, hot, lb_tile, _resid, _mask, _rng = kdtree._radius_prefix(qp, binit, index, tile_q=TQ, k=0, interpret=False)
     return member.astype(jnp.float32) + hot.astype(jnp.float32) + lb_tile
 
 def stage_lists(queries, radius, index):
@@ -68,7 +68,7 @@ def stage_lists(queries, radius, index):
     nqt = qp.shape[0] // TQ
     bound_val = jnp.float32(10.0)*(1+1e-6)+1e-30
     binit = jnp.pad(jnp.minimum(radius, bound_val), (0, qp.shape[0]-queries.shape[0]), constant_values=-1.0)
-    member, hot, lb_tile = kdtree._radius_prefix(qp, binit, index, tile_q=TQ, interpret=False)
+    member, hot, lb_tile, _resid, _mask, _rng = kdtree._radius_prefix(qp, binit, index, tile_q=TQ, k=0, interpret=False)
     tb = jnp.maximum(jnp.max(binit.reshape(nqt, TQ), axis=1), 1e-30)[:, None]
     vlist, suffix, counts, counts0 = knn._visit_lists_from(lb_tile, member, tb)
     return vlist[..., :1].astype(jnp.float32) + suffix[..., :1] + counts[:, None].astype(jnp.float32)
