@@ -696,12 +696,9 @@ def _kd_bitmap_search(
             f"tile_q/{_SG_WIDTH} bits into int32 words — 256 is the "
             "maximum (tile_q=512 measured silently dropping memberships)"
         )
-    if impl == "resident" and gate_width is None and 0 < k <= 2:
-        # Narrow-membership regimes (the approximate arm's k=1/2):
-        # gate=32 measured 0.861 vs gate=64's 1.076 ms/pair/iter at
-        # k=1 (scripts/evidence/approx_arm_log.txt); the exact k=4
-        # path keeps the swept 64 default.
-        gate_width = 32
+    # gate_width=None takes knn.RESIDENT_GATE_WIDTH (32 — the measured
+    # winner at every k once the per-gate walk spans landed; see the
+    # constant's comment).
     if impl == "resident":
         gw = knn.RESIDENT_GATE_WIDTH if gate_width is None else gate_width
         n_gate = tile_q // gw

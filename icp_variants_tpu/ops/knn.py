@@ -1254,11 +1254,13 @@ def _run_bitmap_kernel(
 # finally pays.
 RESIDENT_VMEM_BUDGET = 13 * 1024 * 1024
 # Gating granularity (query rows per conditional region) of the resident
-# kernel. Hardware sweep at bench shapes (scripts/evidence/resident_bench_log.txt,
-# ms/pair/iter): 128 -> 2.26, 64 -> 1.17, 32 -> 1.22, 16 -> 1.44,
-# 8 -> 1.77 — the scalar-branch overhead per (gate, block) region beats
-# the VPU savings below 64 rows.
-RESIDENT_GATE_WIDTH = 64
+# kernel. The r3 sweep picked 64 (scripts/evidence/resident_bench_log.txt:
+# 128 -> 2.26, 64 -> 1.17, 32 -> 1.22, 16 -> 1.44, 8 -> 1.77 ms/pair/iter
+# — per-region scalar-branch overhead beat the VPU savings below 64).
+# With round 4's PER-GATE walk spans the balance shifted: gate=32 wins at
+# every k (k=1: 0.861 vs 1.076 kernel probe; k=4 e2e: 14.30 vs 14.18
+# pairs/s — scripts/evidence/approx_arm_log.txt), so 32 is the default.
+RESIDENT_GATE_WIDTH = 32
 
 
 def resident_fits(nc: int, tile_t: int, d: int | None = None) -> bool:
