@@ -505,3 +505,48 @@ class TestShardedKd:
             np.asarray(res_sh.trace.num_matches),
             np.asarray(res_ref.trace.num_matches),
         )
+
+
+class TestShardedApproximateArm:
+    """The FLANN-parity approximate arm (matching_checks > 0, no
+    certificate/fallback) through the sharded full scan: parity with
+    single-device run_icp_batch. The cond-free matching path must carry
+    identical varying-manual-axes under shard_map."""
+
+    def test_checks_sharded_matches_single_device(self, mesh):
+        from icp_variants_tpu.ops import kdtree
+
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=5, matching_checks=16,
+        )
+        n_pairs, cap = 2, 2048
+        arrays = _batch(n_pairs, cap, seed=9)
+        sources = Cloud(
+            points=jnp.asarray(arrays[0]), normals=jnp.asarray(arrays[1]),
+            colors=jnp.asarray(arrays[2]), valid=jnp.asarray(arrays[3]),
+        )
+        targets = Cloud(
+            points=jnp.asarray(arrays[4]), normals=jnp.asarray(arrays[5]),
+            colors=jnp.asarray(arrays[6]), valid=jnp.asarray(arrays[7]),
+        )
+        kds = kdtree.stack_kd_indexes([
+            kdtree.build_kd_index(arrays[4][b], arrays[7][b])
+            for b in range(n_pairs)
+        ])
+        res_ref = icp.run_icp_batch(
+            cfg, sources, targets, key=jax.random.PRNGKey(0),
+            kd_indexes=kds,
+        )
+        res_sh = sharded_icp.run_icp_batch_sharded(
+            cfg, sources, targets, mesh, key=jax.random.PRNGKey(0),
+            kd_indexes=kds,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sh.pose), np.asarray(res_ref.pose),
+            rtol=1e-3, atol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_sh.trace.num_matches),
+            np.asarray(res_ref.trace.num_matches),
+        )
