@@ -361,7 +361,12 @@ def matcher_work_model(
         d = kd_index.block_min.shape[1]
         cap_pad = kd_index.pages.shape[2]
         tq = cfg.kd_warm_tile_q or kdtree.TILE_Q_DEFAULT
-        kk = min(kdtree.K_DEFAULT, nc)
+        # The approximate arm (matching_checks > 0) caps membership at
+        # checks_to_k blocks; the exact arm runs K_DEFAULT.
+        if cfg.matching_checks > 0:
+            kk = kdtree.checks_to_k(cfg.matching_checks, kd_index)
+        else:
+            kk = min(kdtree.K_DEFAULT, nc)
         qp = knn._pad_rows(
             knn._pad_features(q), kdtree._PREFIX_GROUP * tq, 0.0
         )
@@ -397,6 +402,8 @@ def matcher_work_model(
             kind = "resident"
         else:
             kind = "union"
+        if cfg.matching_checks > 0:
+            kind += f" approx(checks={cfg.matching_checks}, k={kk})"
         matcher_line = (
             f"  kd {kind} matcher: {visited} member blocks/iter "
             f"({visited / max(nqt, 1):.1f}/tile of {nc}): "
