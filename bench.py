@@ -280,10 +280,19 @@ def eth_true_pose(i):
     return T
 
 
+def rotation_geodesic_deg(R):
+    """Geodesic rotation angle of a 3x3 rotation-ish matrix, degrees."""
+    c = (float(np.trace(R)) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
 def measure_eth_accuracy(state, cfg):
-    """Mean max-abs translation error of the registered poses against the
-    known synthetic perturbations — the accuracy metric the exact-vs-
-    approximate arm comparison reports (ICP must invert eth_true_pose)."""
+    """Mean max-abs translation error AND mean geodesic rotation error of
+    the registered poses against the known synthetic perturbations — the
+    accuracy metrics the exact-vs-approximate arm comparison reports (ICP
+    must invert eth_true_pose; the perturbations are rotation-dominated,
+    so a rotation-degrading approximation must not pass a
+    translation-only gate). Returns ``(t_err_m, r_err_deg)``."""
     import jax
 
     from icp_variants_tpu.pipeline import icp
@@ -293,12 +302,12 @@ def measure_eth_accuracy(state, cfg):
         kd_indexes=state["kd_indexes"],
     )
     poses = jax.device_get(res.pose)
-    errs = [
-        float(np.abs((np.asarray(poses[i]) @ eth_true_pose(i)
-                      - np.eye(4))[:3, 3]).max())
-        for i in range(poses.shape[0])
-    ]
-    return float(np.mean(errs))
+    t_errs, r_errs = [], []
+    for i in range(poses.shape[0]):
+        resid = np.asarray(poses[i]) @ eth_true_pose(i)
+        t_errs.append(float(np.abs((resid - np.eye(4))[:3, 3]).max()))
+        r_errs.append(rotation_geodesic_deg(resid[:3, :3]))
+    return float(np.mean(t_errs)), float(np.mean(r_errs))
 
 
 def bench_cpu_proxy(src_pts, tgt_pts):
@@ -326,20 +335,14 @@ def bench_cpu_proxy(src_pts, tgt_pts):
 def make_pairs():
     """BATCH_PAIRS distinct (source, target) pairs: per-pair clouds and
     per-pair perturbations (the ETH driver's scaled GT pose,
-    main.cpp:419-429)."""
+    main.cpp:419-429). The perturbation applied to pair i is EXACTLY
+    ``eth_true_pose(i)`` — one schedule function, so the accuracy gate's
+    ground truth can never silently drift from the generator's."""
     pairs = []
     for i in range(BATCH_PAIRS):
         tgt_pts, tgt_nrm = synth_cloud(N_POINTS, 2 * i)
-        ang = 0.05 + 0.01 * i
-        R = np.array(
-            [
-                [np.cos(ang), -np.sin(ang), 0],
-                [np.sin(ang), np.cos(ang), 0],
-                [0, 0, 1],
-            ],
-            np.float32,
-        )
-        shift = np.array([0.5 - 0.1 * i, -0.3 + 0.05 * i, 0.1], np.float32)
+        T = eth_true_pose(i)
+        R, shift = T[:3, :3], T[:3, 3]
         src_pts = (tgt_pts @ R.T + shift).astype(np.float32)
         src_nrm = (tgt_nrm @ R.T).astype(np.float32)
         pairs.append((src_pts, src_nrm, tgt_pts, tgt_nrm))
@@ -523,8 +526,9 @@ def measure_color_accuracy(state, **overrides):
     """Mean max-abs translation error of the color-multires tracker
     against the synthetic camera's known x-shift (frame i's camera sits at
     x = -TUM_SHIFT*i, so the GT source->target transform is a pure
-    translation of -TUM_SHIFT*i) — the exact-vs-approximate accuracy
-    metric for bench config 4."""
+    translation of -TUM_SHIFT*i) — plus the mean geodesic rotation error
+    (GT rotation is identity). Returns ``(t_err_m, r_err_deg)`` — the
+    exact-vs-approximate accuracy metrics for bench config 4."""
     import jax
 
     from icp_variants_tpu.ops import kdtree
@@ -543,12 +547,13 @@ def measure_color_accuracy(state, **overrides):
         cfg, sources, targets, key=jax.random.PRNGKey(1),
         num_source_points=TUM_W * TUM_H, kd_indexes=kd_indexes)
     poses = jax.device_get(res.pose)
-    errs = []
+    t_errs, r_errs = [], []
     for b in range(poses.shape[0]):
         gt_t = np.array([-TUM_SHIFT * (b + 1), 0.0, 0.0], np.float32)
-        errs.append(float(np.abs(
+        t_errs.append(float(np.abs(
             np.asarray(poses[b])[:3, 3] - gt_t).max()))
-    return float(np.mean(errs))
+        r_errs.append(rotation_geodesic_deg(np.asarray(poses[b])[:3, :3]))
+    return float(np.mean(t_errs)), float(np.mean(r_errs))
 
 
 def bench_cpu_proxy_projective(state):
@@ -749,8 +754,9 @@ def main():
     dt_apx = bench_tpu(
         pairs, Selection.RANDOM, state=state, matching_checks=16)
     dt_fast = bench_tpu(pairs, Selection.RANDOM_FAST, state=state)
-    err_exact = measure_eth_accuracy(state, headline_config(Selection.RANDOM))
-    err_apx = measure_eth_accuracy(
+    err_exact, rerr_exact = measure_eth_accuracy(
+        state, headline_config(Selection.RANDOM))
+    err_apx, rerr_apx = measure_eth_accuracy(
         state, headline_config(Selection.RANDOM, matching_checks=16))
     # Fresh best-of-2 CPU proxy (drift detection + possible pin tightening);
     # the denominator of record is the PIN (module docstring).
@@ -762,13 +768,19 @@ def main():
         "metric": "eth_scale_scan_pairs_per_sec_chip",
         "value": round(1.0 / dt_apx, 4),
         "unit": "pairs/s (365k pts, 50-iter symmetric ICP, p=0.01, "
-        "reference-exact Bernoulli selection, FLANN-parity 16-check "
-        "matching — the reference's own approximation; exact arm "
-        "reported alongside)",
+        "reference-exact Bernoulli selection, approximate matching arm: "
+        "checks=16 rounded up to a top-1-block candidate budget, "
+        "certificate skipped — FLANN-SearchParams(16)-class semantics, "
+        "the reference's own approximation class; exact arm reported "
+        "alongside)",
+        "arm": "flann-parity-checks16",
         "exact_matching_pairs_per_sec": round(1.0 / dt_exact, 4),
         "fast_selection_pairs_per_sec": round(1.0 / dt_fast, 4),
         "accuracy_mean_t_err_m": {
             "exact": round(err_exact, 5), "checks16": round(err_apx, 5),
+        },
+        "accuracy_mean_r_err_deg": {
+            "exact": round(rerr_exact, 5), "checks16": round(rerr_apx, 5),
         },
         "warm_start": "regime-gated: dense selection only "
         "(ICPConfig.kd_warm_start)",
@@ -842,10 +854,14 @@ def main():
             out["color_multires_exact_frames_per_sec"] = round(1.0 / dt_me, 4)
             out["color_multires_exact_vs_baseline"] = round(
                 denom_m / dt_me, 3)
+            terr_me, rerr_me = measure_color_accuracy(tum_state)
+            terr_ma, rerr_ma = measure_color_accuracy(
+                tum_state, matching_checks=16)
             out["color_multires_accuracy_mean_t_err_m"] = {
-                "exact": round(measure_color_accuracy(tum_state), 6),
-                "checks16": round(
-                    measure_color_accuracy(tum_state, matching_checks=16), 6),
+                "exact": round(terr_me, 6), "checks16": round(terr_ma, 6),
+            }
+            out["color_multires_accuracy_mean_r_err_deg"] = {
+                "exact": round(rerr_me, 6), "checks16": round(rerr_ma, 6),
             }
 
         if "tum_projective" in sections:

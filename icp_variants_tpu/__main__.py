@@ -16,6 +16,52 @@ import json
 import sys
 
 
+def _run_refine(args, cfg, res, eth) -> None:
+    """`eth --refine`: pose-graph refinement over the sweep's sequential
+    chain (+ optional odometry-proximity loop closures), reporting the
+    odometry-vs-refined trajectory error against the CSV's composed GT
+    relative poses. Uses the sharded CG refiner when >1 device is up."""
+    import jax
+    import numpy as np
+
+    from icp_variants_tpu.data.loaders import ETHDataLoader
+
+    mesh = None
+    devices = jax.devices()
+    if len(devices) > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devices), ("pairs",))
+        print(f"refine: sharded CG over {len(devices)} devices")
+    odometry, refined, graph = eth.refine_trajectory(res, mesh=mesh)
+    loader = ETHDataLoader(args.pose_csv, downsample=args.downsample)
+    if args.loop_closure_radius > 0:
+        cands = eth.find_loop_closures(
+            odometry, radius=args.loop_closure_radius)
+        if cands:
+            print(f"refine: registering {len(cands)} loop closures: {cands}")
+            edges = eth.register_closures(loader, cands, cfg, odometry)
+            odometry, refined, graph = eth.refine_trajectory(
+                res, extra_edges=edges, mesh=mesh)
+        else:
+            print("refine: no loop-closure candidates within radius")
+    # GT trajectory from the CSV's relative poses (reading -> reference,
+    # ETHDataLoader.h:72-101), composed the same way as the odometry.
+    gt = [np.eye(4, dtype=np.float32)]
+    for k in range(len(res.pairs)):
+        gt.append((gt[-1] @ loader._gt_pose(res.pairs[k].index)).astype(
+            np.float32))
+
+    def ate(traj):
+        return float(np.sqrt(np.mean([
+            np.sum((t[:3, 3] - g[:3, 3]) ** 2) for t, g in zip(traj, gt)
+        ])))
+
+    print(f"refine: {len(odometry)} poses, {graph.edge_i.shape[0]} edges")
+    print(f"trajectory ATE vs GT: odometry {ate(odometry):.6f} m "
+          f"-> refined {ate(refined):.6f} m")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="icp_variants_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -54,6 +100,11 @@ def main(argv=None) -> int:
             help="Trimmed ICP: keep only this fraction of matches (best "
             "by distance) each iteration — robust to partial overlap "
             "(1.0 = off, reference parity)",
+        )
+        p.add_argument(
+            "--iterations", type=int, default=0,
+            help="override the workload's default ICP iteration count "
+            "(0 = keep the reference default)",
         )
         p.add_argument(
             "--matching-checks", type=int, default=0,
@@ -96,6 +147,21 @@ def main(argv=None) -> int:
         help="batched runner: write per-batch sweep checkpoints here and "
         "resume a crashed run from the first incomplete batch",
     )
+    e.add_argument(
+        "--refine", action="store_true",
+        help="pose-graph refinement over the sweep's sequential chain "
+        "(parallel/pose_graph — the global-consistency capstone the "
+        "reference lacks): chain the per-pair poses into a trajectory, "
+        "jointly refine, and print odometry-vs-refined trajectory error "
+        "against the CSV ground truth; runs the sharded block-Jacobi CG "
+        "refiner automatically when >1 device is attached",
+    )
+    e.add_argument(
+        "--loop-closure-radius", type=float, default=0.0,
+        help="with --refine: also register loop-closure edges between "
+        "non-adjacent scans whose odometry positions sit within this "
+        "many meters (0 = chain only)",
+    )
 
     x = sub.add_parser("experiments", help="CSV config-matrix sweep")
     x.add_argument("config_csv")
@@ -126,6 +192,8 @@ def main(argv=None) -> int:
             d["weighting"] = Weighting(args.weighting)
         if getattr(args, "matching_checks", 0):
             d["matching_checks"] = args.matching_checks
+        if getattr(args, "iterations", 0):
+            d["n_iterations"] = args.iterations
         return d
 
     if args.cmd == "bunny":
@@ -186,6 +254,8 @@ def main(argv=None) -> int:
         for p in res.pairs:
             print(f"pair {p.index}: benchmark {p.initial_error:.5f} -> {p.final_error:.5f}")
         print("min error", res.min_error, "at", res.index_min_error)
+        if args.refine:
+            _run_refine(args, cfg, res, eth)
         return 0
 
     if args.cmd == "experiments":

@@ -213,6 +213,19 @@ class ETHDataLoader(DataLoader):
             pose=self._gt_pose(index),
         )
 
+    def get_scan(self, index: int) -> Cloud:
+        """Load SCAN ``index`` of the sequential sequence (0..n_pairs):
+        pair k registers scan k+1 (reading, column 1) onto scan k
+        (reference, column 2), so scan k is row k's reference and the
+        final scan is the last row's reading. Used by the pose-graph
+        loop-closure registration (workloads/eth.register_closures)."""
+        n = self.get_length()
+        if not (0 <= index <= n):
+            raise IndexError(f"scan {index} out of range (0..{n})")
+        if index < n:
+            return self._load_cloud(self.rows[index + 1][2])
+        return self._load_cloud(self.rows[n][1])
+
     def get_items(self, indices) -> list[Sample]:
         """Load a BATCH of pairs, parsing all 2*B .pcd files concurrently
         through the native thread pool (``pcd_io.read_pcd_batch``) — the

@@ -182,14 +182,21 @@ def projective_match(
     return best_idx, best_d2, valid
 
 
-def _resident_fits_projective(width: int, height: int, block: int) -> bool:
+def _resident_fits_projective(
+    width: int, height: int, block: int, window: int = 12
+) -> bool:
     """Whether the image block table fits the resident kernel's VMEM
-    budget (640x480 at B=16 is ~9.8 MB)."""
+    budget (640x480 at B=16 is ~9.8 MB). Uses the same nb-clamped block
+    grid as projective_match_resident — for images smaller than the
+    window's block span the padded table is LARGER than ceil(dim/b)
+    suggests, and the fit check must count what the kernel allocates."""
     from icp_variants_tpu.ops import knn
 
     b = block
-    wb = -(-width // b)
-    hb = -(-height // b)
+    span = 2 * window + 1
+    nb = (span - 2) // b + 2
+    wb = max(-(-width // b), nb)
+    hb = max(-(-height // b), nb)
     return (hb * wb) * 8 * (b * b) * 4 <= knn.RESIDENT_VMEM_BUDGET
 
 

@@ -191,8 +191,9 @@ class ICPConfig:
         match_desc = f"  2. Matching: {self.matching.name.lower()} (max sq distance {self.max_distance})"
         if self.matching_checks > 0:
             match_desc += (
-                f" [APPROXIMATE: ~{self.matching_checks}-point candidate "
-                "budget, FLANN-checks parity]"
+                f" [APPROXIMATE: checks={self.matching_checks} candidate "
+                "budget rounded UP to whole kd blocks (block-granularity "
+                "floor, kdtree.checks_to_k), FLANN-SearchParams class]"
             )
         lines.append(match_desc)
         lines.append(f"  3. Weighting: {self.weighting.name.lower()}")

@@ -432,7 +432,7 @@ def _iteration(
             jax.default_backend() in ("tpu", "axon")
             and projective._resident_fits_projective(
                 cfg.projective_width, cfg.projective_height,
-                projective.BLOCK,
+                projective.BLOCK, cfg.projective_window,
             )
         ):
             # Resident-image Pallas kernel: the whole block table lives

@@ -346,7 +346,13 @@ class _SweepCheckpoint:
             raise
 
 
-def refine_trajectory(result: ETHRunResult, weights: np.ndarray | None = None):
+def refine_trajectory(
+    result: ETHRunResult,
+    weights: np.ndarray | None = None,
+    *,
+    extra_edges=None,
+    mesh=None,
+):
     """Pose-graph refinement over a SEQUENTIAL ETH run (pair k registers
     scan k+1 onto scan k): chains the per-pair ICP poses into absolute scan
     poses and jointly refines them (parallel/pose_graph) — the global
@@ -356,13 +362,112 @@ def refine_trajectory(result: ETHRunResult, weights: np.ndarray | None = None):
     pose of pair k composes its ICP estimate with the applied perturbation,
     so the relative edge is ``icp_pose @ scaled_perturbation``
     (``ETHPairResult.relative_pose``).
+
+    ``extra_edges`` appends loop-closure edges: a list of
+    ``(i, j, rel_pose, weight)`` with ``rel_pose`` mapping scan j's
+    coordinates onto scan i's (:func:`register_closures` builds them from
+    odometry proximity). ``mesh`` dispatches the solve to the sharded
+    block-Jacobi CG refiner (``pose_graph.refine_sharded``) when a device
+    mesh is available; ``None`` solves locally (dense below 96 poses,
+    matrix-free CG above).
     """
+    import jax.numpy as jnp
+
     from icp_variants_tpu.parallel import pose_graph
 
     rel = np.stack([p.relative_pose for p in result.pairs])
     odometry, graph = pose_graph.sequential_graph(rel, weights)
-    refined = np.asarray(pose_graph.refine(odometry, graph))
+    if extra_edges:
+        graph = pose_graph.PoseGraph(
+            edge_i=jnp.concatenate([
+                graph.edge_i,
+                jnp.asarray([e[0] for e in extra_edges], jnp.int32),
+            ]),
+            edge_j=jnp.concatenate([
+                graph.edge_j,
+                jnp.asarray([e[1] for e in extra_edges], jnp.int32),
+            ]),
+            rel_poses=jnp.concatenate([
+                graph.rel_poses,
+                jnp.stack([jnp.asarray(e[2], jnp.float32)
+                           for e in extra_edges]),
+            ]),
+            weights=jnp.concatenate([
+                graph.weights,
+                jnp.asarray([e[3] for e in extra_edges], jnp.float32),
+            ]),
+        )
+    if mesh is not None:
+        refined = np.asarray(
+            pose_graph.refine_sharded(odometry, graph, mesh))
+    else:
+        refined = np.asarray(pose_graph.refine(odometry, graph))
     return odometry, refined, graph
+
+
+def find_loop_closures(
+    odometry: np.ndarray,
+    *,
+    radius: float = 1.0,
+    min_separation: int = 3,
+    max_closures: int = 8,
+) -> list[tuple[int, int]]:
+    """Candidate loop-closure scan pairs from trajectory proximity: scans
+    ``(i, j)`` with ``j - i >= min_separation`` whose odometry positions
+    sit within ``radius`` meters. Greedy farthest-separation-first pick so
+    the budget goes to the closures with the most drift leverage; each
+    scan joins at most one closure."""
+    pos = np.asarray([T[:3, 3] for T in odometry])
+    n = len(pos)
+    cands = []
+    for i in range(n):
+        for j in range(i + min_separation, n):
+            d = float(np.linalg.norm(pos[j] - pos[i]))
+            if d <= radius:
+                cands.append((j - i, d, i, j))
+    cands.sort(key=lambda c: (-c[0], c[1]))
+    used: set[int] = set()
+    out = []
+    for _, _, i, j in cands:
+        if i in used or j in used:
+            continue
+        out.append((i, j))
+        used.update((i, j))
+        if len(out) >= max_closures:
+            break
+    return out
+
+
+def register_closures(
+    loader: ETHDataLoader,
+    closures: list[tuple[int, int]],
+    cfg: ICPConfig,
+    odometry: np.ndarray,
+    *,
+    seed: int = 0,
+) -> list[tuple[int, int, np.ndarray, float]]:
+    """Register each loop-closure scan pair (scan j onto scan i) with the
+    sweep's own ICP configuration, initialized from the odometry guess
+    (the source is pre-transformed by ``odometry[i]^-1 @ odometry[j]``, so
+    ICP only solves for the residual drift — the standard pose-graph
+    closure recipe). Returns ``(i, j, rel_pose, weight)`` edges where
+    ``rel_pose`` maps scan j's raw coordinates onto scan i's."""
+    edges = []
+    for k, (i, j) in enumerate(closures):
+        scan_i = loader.get_scan(i)
+        scan_j = loader.get_scan(j)
+        guess = (np.linalg.inv(odometry[i]) @ odometry[j]).astype(np.float32)
+        src = perturb_cloud(scan_j, guess)
+        kd_index = icp.build_kd_for(cfg, scan_i)
+        res = icp.run_icp(
+            cfg, src, scan_i, key=jax.random.PRNGKey(seed + 7919 * k),
+            kd_index=kd_index,
+        )
+        pose = np.asarray(jax.device_get(res.pose))
+        edges.append((i, j, (pose @ guess).astype(np.float32), 1.0))
+        logger.info("closure %d-%d registered (|t| drift %.4f m)", i, j,
+                    float(np.linalg.norm(pose[:3, 3])))
+    return edges
 
 
 def align_eth(

@@ -396,6 +396,48 @@ class TestETHBatch:
 
         assert traj_err(refined) < 0.6 * traj_err(odometry)
 
+    def test_cli_refine_end_to_end(self, tmp_path, capsys):
+        """`eth --refine --loop-closure-radius`: the pose-graph capstone
+        reachable from the production CLI — sweep, chain, closure
+        registration, refine, GT trajectory error report."""
+        from icp_variants_tpu.__main__ import main
+
+        csv_path = make_eth_sequence(tmp_path, n_pairs=4)
+        rc = main([
+            "eth", csv_path, "--batch", "4", "--linear", "--metric", "1",
+            "--iterations", "6", "--refine", "--loop-closure-radius", "1.0",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "trajectory ATE vs GT" in out
+        assert "refine:" in out
+        # The fixture's scans sit near the origin, so proximity candidates
+        # exist and at least the chain edges are reported.
+        import re
+
+        m = re.search(r"refine: (\d+) poses, (\d+) edges", out)
+        assert m and int(m.group(1)) == 5 and int(m.group(2)) >= 4
+
+    def test_find_loop_closures_proximity_rules(self):
+        """Separation floor, radius cut, greedy farthest-first pick, and
+        one-closure-per-scan exclusivity."""
+        # A square loop: scan 4 returns to scan 0's position.
+        traj = []
+        for p in [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0.05)]:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [p[0], p[1], 0.0]
+            traj.append(T)
+        got = eth.find_loop_closures(
+            np.stack(traj), radius=0.2, min_separation=3)
+        assert got == [(0, 4)]
+        # Nothing within radius -> no candidates.
+        assert eth.find_loop_closures(
+            np.stack(traj), radius=0.01, min_separation=3) == []
+        # min_separation excludes adjacent/near-adjacent pairs even when
+        # they are close in space.
+        assert eth.find_loop_closures(
+            np.stack(traj), radius=5.0, min_separation=10) == []
+
 
 class TestBatchLoading:
     def test_get_items_matches_get_item(self, tmp_path):
