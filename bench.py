@@ -186,7 +186,7 @@ def headline_config(selection=None, **overrides):
     ).replace(**overrides)
 
 
-def prepare_host_state(pairs, use_kd=True):
+def prepare_host_state(pairs, use_kd=True, block_target=None):
     """One-time host-side prep shared by every bench_tpu invocation:
     Morton-ordered stacked clouds and per-target k-d builds (the FLANN
     buildIndex analog, NearestNeighbor.h:122-141). Hoisted out of
@@ -210,8 +210,10 @@ def prepare_host_state(pairs, use_kd=True):
         "kd_indexes": None,
     }
     if use_kd:
+        bt = block_target or kdtree.BLOCK_TARGET
         state["kd_indexes"] = kdtree.stack_kd_indexes([
-            kdtree.build_kd_index(np.asarray(t.points), np.asarray(t.valid))
+            kdtree.build_kd_index(
+                np.asarray(t.points), np.asarray(t.valid), block_target=bt)
             for t in target_clouds
         ])
     return state

@@ -125,6 +125,15 @@ class ICPConfig:
     # slightly-wrong NNs (see PARITY.md "Approximate matching arm").
     matching_checks: int = 0
 
+    # kd index block size (points per block at full occupancy; 0 = the
+    # module default, kdtree.BLOCK_TARGET). The block capacity is the
+    # approximate arm's candidate-budget GRANULE (checks round up to
+    # whole blocks, kdtree.checks_to_k), so smaller blocks cut the
+    # per-query vector work of the k-capped kernels — at the price of a
+    # denser prefix ranking (lb matrix width = block count) and more
+    # member blocks per gate walk. Part of the executable's shape.
+    kd_block_target: int = 0
+
     kd_warm_start: bool = True
     # Warm cache granularity: one slot per `granule` Morton-consecutive
     # source rows. Any granule-mate's match is a valid radius bound (it is

@@ -1008,7 +1008,8 @@ def _kd_resident_will_run(cfg: ICPConfig, capacity: int) -> bool:
     """Whether :func:`kdtree.match_kd` would pick the resident kernel for
     a target of this capacity (page-table shapes depend on capacity
     alone)."""
-    depth = kdtree.kd_depth_for(capacity)
+    depth = kdtree.kd_depth_for(
+        capacity, cfg.kd_block_target or kdtree.BLOCK_TARGET)
     nc = 1 << depth
     cap_pad = ((-(-capacity // nc)) + 127) // 128 * 128
     # Either layout qualifies: the preferred one-block-per-page table, or
@@ -1065,4 +1066,7 @@ def build_kd_for(
         )
     else:
         feats = np.asarray(jax.device_get(target.points))
-    return kdtree.build_kd_index(feats, valid)
+    return kdtree.build_kd_index(
+        feats, valid,
+        block_target=cfg.kd_block_target or kdtree.BLOCK_TARGET,
+    )
