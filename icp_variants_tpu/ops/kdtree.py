@@ -49,7 +49,25 @@ LEAF_PAD = 1.0e9
 # Default extraction width (scripts/knn_v3_proto.py: ~0% fallback at 4
 # with far narrower candidate sets; one block is ~512-1024 points).
 K_DEFAULT = 4
-BLOCK_TARGET = 768  # points per block at full occupancy
+# Points per block at full occupancy. The round-5 hardware sweep
+# (scripts/evidence/block_target_probe.txt) moved this 768 -> 3072: the
+# resident kernel's cost is dominated by per-(gate, block) region count,
+# not lane width, so FEWER/WIDER blocks win on every config and both
+# arms (ETH checks=16: 21.7 -> 28.1 pairs/s; ETH exact 13.4 -> 17.4;
+# indoor 23.8 -> 31.2; color exact 0.51 -> 0.71 f/s). The k=1
+# approximate COLOR matcher peaks one step wider still (6-dim compute
+# per lane is 2x, but k=1 has half the regions of K=4) — hence the
+# separate approx-color default. 12288+ collapses (lane compute
+# dominates); 384/192 lose monotonically (region overhead).
+BLOCK_TARGET = 3072
+BLOCK_TARGET_COLOR_APPROX = 6144
+
+
+def default_block_target(color: bool, approx: bool) -> int:
+    """The measured-winner block size for a matching configuration (see
+    BLOCK_TARGET's comment; the approximate 6-dim color matcher prefers
+    one step wider)."""
+    return BLOCK_TARGET_COLOR_APPROX if (color and approx) else BLOCK_TARGET
 # Query-tile width of the bitmap-kernel search paths (sweepable like
 # K_DEFAULT; resolved at trace time by the non-jitted wrappers).
 TILE_Q_DEFAULT = 128
@@ -648,6 +666,199 @@ def _radius_prefix(
     return member > 0.0, hot > 0.0, lb_tile, resid, mask, ranges
 
 
+def _make_cached_prefix_kernel(nc: int, tile_q: int, n_gate: int):
+    """Membership prefix from CACHED block ids (the approximate arm's
+    seeded-membership mode): each query's member set is exactly the one
+    block carried in ``blk`` (-1 = none), so the per-query 6-dim box
+    lower-bound ranking of :func:`_make_prefix_kernel` — ~6 ms/frame-iter
+    at the dense color tracker's 307k queries
+    (scripts/evidence/color_decomp_log.txt) — collapses to a one-hot
+    compare. Emits the same per-subgroup mask words and per-gate
+    [jmin, jend) walk spans the resident kernel consumes."""
+    n_sub = tile_q // _SG_WIDTH
+
+    def kernel(blk_ref, mask_ref, ranges_ref):
+        for s in range(_PREFIX_GROUP):
+            rows = slice(s * tile_q, (s + 1) * tile_q)
+            blk = blk_ref[rows]                       # (tile_q, 1) int32
+            iota_nc = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_q, nc), 1)
+            hit = (iota_nc == blk).astype(jnp.int32)  # -1 rows: all-zero
+            bits = jnp.max(hit.reshape(n_sub, _SG_WIDTH, nc), axis=1)
+            shifts = jax.lax.broadcasted_iota(jnp.int32, (n_sub, nc), 0)
+            mask_ref[s:s + 1, :] = jnp.sum(
+                jnp.left_shift(bits, shifts), axis=0, keepdims=True
+            )
+            r_sub = n_sub // n_gate
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, nc), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            row = jnp.zeros((1, 128), jnp.int32)
+            for g in range(n_gate):
+                gm = jnp.max(
+                    bits[g * r_sub:(g + 1) * r_sub], axis=0, keepdims=True)
+                jmin = jnp.min(jnp.where(gm > 0, iota_c, nc))
+                jend = jnp.maximum(
+                    jnp.max(jnp.where(gm > 0, iota_c + 1, 0)), jmin)
+                row = row + jmin * (lane == 2 * g).astype(jnp.int32) \
+                    + jend * (lane == 2 * g + 1).astype(jnp.int32)
+            ranges_ref[s:s + 1, :] = row
+
+    return kernel
+
+
+def _cached_prefix(blk, nc, *, tile_q: int, n_gate: int, interpret: bool):
+    """Run the cached-membership prefix: ``blk`` is the (Nq_pad, 1) int32
+    per-query block ids (-1 = no membership), padded to a
+    ``_PREFIX_GROUP * tile_q`` multiple. Returns ``(submask, ranges)``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nqt = blk.shape[0] // tile_q
+    gq = _PREFIX_GROUP * tile_q
+    return pl.pallas_call(
+        _make_cached_prefix_kernel(nc, tile_q, n_gate),
+        grid=(nqt // _PREFIX_GROUP,),
+        in_specs=[pl.BlockSpec((gq, 1), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((_PREFIX_GROUP, nc), lambda i: (i, 0)),
+            pl.BlockSpec((_PREFIX_GROUP, 128), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nqt, nc), jnp.int32),
+            jax.ShapeDtypeStruct((nqt, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(blk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_distance", "tile_q", "gate_width", "interpret"),
+)
+def nn_search_kd_cached(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    blk_ids: jax.Array,
+    *,
+    tile_q: int | None = None,
+    gate_width: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate 1-NN with SEEDED membership: query i's candidate set is
+    exactly block ``blk_ids[i]`` of the index (-1 = no search, idx -1).
+
+    The approximate arm's cached-membership mode (ICPConfig.matching_checks
+    with kd_seed_membership): instead of re-ranking blocks by box lower
+    bound every iteration, each query carries the block of its previous
+    match through the scan — valid within the FLANN-class approximation
+    contract because the k=1-budget arm already accepts best-in-chosen-
+    block results and inter-iteration pose deltas are tiny wherever this
+    mode is enabled (dense SELECT_ALL fine pyramid levels). Returns
+    ``(sorted_idx, d2)`` in the PAIR-LOCAL page domain; no certificate.
+    Requires the resident layout (callers gate on _resident_layout).
+    """
+    from icp_variants_tpu.ops import knn
+
+    nc = index.pages.shape[0]
+    d = index.block_min.shape[1]
+    tile_q = TILE_Q_DEFAULT if tile_q is None else tile_q
+    gw = knn.RESIDENT_GATE_WIDTH if gate_width is None else gate_width
+    nq = queries.shape[0]
+    q = knn._pad_rows(
+        knn._pad_features(queries[:, :d]), _PREFIX_GROUP * tile_q, 0.0
+    )
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    binit = jnp.full((q.shape[0],), bound_val, jnp.float32)
+    blk = jnp.pad(
+        jnp.clip(blk_ids.astype(jnp.int32), -1, nc - 1),
+        (0, q.shape[0] - nq), constant_values=-1,
+    )[:, None]
+    # Each query's own block id rides the last (free) feature column so
+    # the kernel can mask gate-mates' blocks per row (restrict_col) —
+    # block counts are far inside f32's exact-integer range.
+    q = jnp.concatenate(
+        [q[:, : knn.FEATURE_PAD - 1], blk.astype(jnp.float32)], axis=1
+    )
+    submask, ranges = _cached_prefix(
+        blk, nc, tile_q=tile_q, n_gate=tile_q // gw, interpret=interpret)
+    nqt = q.shape[0] // tile_q
+    placeholder = jnp.zeros((nqt, nc), bool)
+    dist, idx = knn._run_resident_kernel(
+        q, binit, placeholder, placeholder, placeholder.astype(jnp.float32),
+        submask, index.pages, float(max_distance),
+        tile_q=tile_q, tile_t=index.pages.shape[2],
+        n_features=d, interpret=interpret, gate_width=gate_width,
+        packed=False, ranges_rows=ranges,
+        restrict_col=knn.FEATURE_PAD - 1,
+    )
+    return idx[:nq, 0], dist[:nq, 0]
+
+
+def nn_search_kd_cached_oracle(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    blk_ids: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Portable (XLA-only) oracle for :func:`nn_search_kd_cached`: exact
+    best-in-assigned-block via one contiguous row gather — identical
+    results, used on CPU and by the tests."""
+    nc, dcap = index.block_pts.shape
+    d = index.block_min.shape[1]
+    cap = dcap // d
+    cap_pad = index.pages.shape[2]
+    blk = jnp.clip(blk_ids.astype(jnp.int32), -1, nc - 1)
+    cand = _gather_rows(index.block_pts, jnp.maximum(blk, 0)[:, None])
+    d2 = None
+    for j in range(d):
+        diff = cand[:, 0, j * cap:(j + 1) * cap] - queries[:, j:j + 1]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    slot = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    best = jnp.min(d2, axis=1)
+    bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
+    miss = (blk < 0) | (best > jnp.float32(max_distance))
+    sorted_idx = jnp.where(miss, -1, jnp.maximum(blk, 0) * cap_pad + slot)
+    return sorted_idx, jnp.where(miss, bound_val, best)
+
+
+def match_kd_cached(
+    queries: jax.Array,
+    index: KDIndex,
+    max_distance: float,
+    blk_ids: jax.Array,
+    query_mask: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+    impl: str | None = None,
+    gate_width: int | None = None,
+    tile_q: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Matching stage over SEEDED block membership (approximate arm only).
+    Same ``(indices, dist2, valid)`` contract as :func:`match_kd` with
+    ``orig_map=False`` — indices in the sorted page domain. Masked-out
+    queries search nothing (their block id is forced to -1)."""
+    if impl is None:
+        impl = "v2" if jax.default_backend() in ("tpu", "axon") else "xla"
+    blk = blk_ids
+    if query_mask is not None:
+        blk = jnp.where(query_mask, blk, -1)
+    if impl == "v2":
+        idx, d2 = nn_search_kd_cached(
+            queries, index, float(max_distance), blk, interpret=interpret,
+            gate_width=gate_width, tile_q=tile_q)
+    else:
+        idx, d2 = nn_search_kd_cached_oracle(
+            queries, index, float(max_distance), blk)
+    valid = (d2 <= max_distance) & (idx >= 0)
+    if query_mask is not None:
+        valid = valid & query_mask
+    return idx, d2, valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1086,6 +1297,8 @@ def match_kd(
     interpret: bool = False,
     impl: str | None = None,
     orig_map: bool = True,
+    gate_width: int | None = None,
+    tile_q: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Matching stage over the k-d index: per-query search + exactness
     fallback. Same ``(indices, dist2, valid)`` contract as
@@ -1131,7 +1344,7 @@ def match_kd(
         # per-gate compute gating, list construction in the prefix kernel.
         idx3, d23, fail = nn_search_kd_resident(
             queries, index, max_distance, k=k, interpret=interpret,
-            orig_map=not sorted_out,
+            orig_map=not sorted_out, gate_width=gate_width, tile_q=tile_q,
         )
     elif impl == "v2":
         # The union kernel (per-query candidate tightness at per-tile

@@ -1277,7 +1277,7 @@ def resident_fits(nc: int, tile_t: int, d: int | None = None) -> bool:
 def _make_resident_kernel(
     tile_t: int, nc_real: int, nqt: int, n_features: int,
     quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
-    packed: bool = False, pixel_window=None,
+    packed: bool = False, pixel_window=None, restrict_col: int | None = None,
 ):
     """Resident-pages search kernel (single-phase): grid = (pair, query
     tile); the first tile of each pair bulk-copies the pair's full page
@@ -1301,6 +1301,14 @@ def _make_resident_kernel(
     scan without distance compute, 2 = also skip the span scan (copy +
     code DMA only). Probe results are NOT valid matches.
 
+    ``restrict_col`` (the cached-membership mode, kdtree.nn_search_kd_
+    cached): query column ``restrict_col`` carries each query's OWN block
+    id as f32 (-1 = none), and every candidate lane is masked unless its
+    block IS that query's block — the per-gate compute naturally runs the
+    gate's block UNION over all its rows, so without the mask a query
+    would also match gate-mates' blocks (layout-dependent semantics) and
+    a -1 row would not be frozen out.
+
     ``pixel_window`` = ``(window, width, height, wb, b)`` turns the
     kernel into the PROJECTIVE window search (ops/projective.py): each
     page holds one b x b pixel block's coordinates, query columns 3/4
@@ -1311,9 +1319,11 @@ def _make_resident_kernel(
     n_gate = tile_q // gate_width
     r = gate_width // SG_WIDTH          # SG bits per gate
     r_mask = (1 << r) - 1
-    n_streams = 4
     # With the packed layout the copy streams move PAGES (2 blocks each).
     n_pages = (nc_real + 1) // 2 if packed else nc_real
+    # Fewer streams than pages (wide-block indexes can have < 4 pages —
+    # a stream with zero pages would emit an out-of-bounds size-0 slice).
+    n_streams = min(4, n_pages)
     nc_stream = -(-n_pages // n_streams)
 
     def kernel(
@@ -1461,6 +1471,10 @@ def _make_resident_kernel(
             if pixel_window is not None:
                 u0 = q_ref[rows, 3:4]           # projected pixel center
                 v0 = q_ref[rows, 4:5]
+            if restrict_col is not None:
+                qblk = q_ref[
+                    rows, restrict_col:restrict_col + 1
+                ].astype(jnp.int32)             # (gate_width, 1)
 
             def make_body(g, qg, lst, row_off, blk_off):
                 def body(k, carry):
@@ -1486,6 +1500,10 @@ def _make_resident_kernel(
                             & (pv < img_h)
                         )
                         d2 = jnp.where(inwin, d2, jnp.float32(3.0e13))
+                    if restrict_col is not None:
+                        # Cached-membership: only this query's OWN block
+                        # may supply candidates (see docstring).
+                        d2 = jnp.where(qblk == pid, d2, jnp.float32(3.0e13))
                     local_min = jnp.min(d2, axis=1, keepdims=True)
                     sub = jnp.argmin(d2, axis=1).astype(jnp.int32)
                     # PAIR-LOCAL sorted page index (callers map via their
@@ -1521,7 +1539,7 @@ def _make_resident_kernel(
 def _run_resident_kernel_flat(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
-    packed=False, ranges_rows=None, pixel_window=None,
+    packed=False, ranges_rows=None, pixel_window=None, restrict_col=None,
 ):
     """Flat batched resident-kernel invocation (same operand preparation
     as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
@@ -1584,6 +1602,7 @@ def _run_resident_kernel_flat(
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
         probe, packed=packed, pixel_window=pixel_window,
+        restrict_col=restrict_col,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1655,6 +1674,7 @@ def _resident_search_fn(
     tile_q: int, tile_t: int, n_features: int,
     max_distance: float, gate_width: int, interpret: bool,
     packed: bool = False, has_ranges: bool = False, pixel_window=None,
+    restrict_col=None,
 ):
     """Build (and cache) the custom-vmap resident searcher (same batching
     design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
@@ -1663,7 +1683,7 @@ def _resident_search_fn(
     kw = dict(
         tile_q=tile_q, tile_t=tile_t, n_features=n_features,
         gate_width=gate_width, interpret=interpret, packed=packed,
-        pixel_window=pixel_window,
+        pixel_window=pixel_window, restrict_col=restrict_col,
     )
 
     def search(q, binit, hot, cold, lb_tile, submask, pages, *ranges):
@@ -1697,7 +1717,7 @@ def _resident_search_fn(
 def _run_resident_kernel(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, interpret, gate_width=None,
-    packed=False, ranges_rows=None, pixel_window=None,
+    packed=False, ranges_rows=None, pixel_window=None, restrict_col=None,
 ):
     """Resident-pages search over one pair (batches via the custom vmap
     rule: the pair axis joins the kernel grid). ``pages`` must be the
@@ -1708,6 +1728,7 @@ def _run_resident_kernel(
         tile_q, tile_t, n_features, float(max_distance),
         RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
         interpret, packed, ranges_rows is not None, pixel_window,
+        restrict_col,
     )
     args = (q, binit, hot, cold, lb_tile, submask, pages)
     if ranges_rows is not None:

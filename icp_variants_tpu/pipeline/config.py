@@ -134,6 +134,18 @@ class ICPConfig:
     # member blocks per gate walk. Part of the executable's shape.
     kd_block_target: int = 0
 
+    # Approximate-arm membership cache (checks > 0 + SELECT_ALL only):
+    # each source row carries the kd BLOCK of its previous match through
+    # the scan; iterations re-rank membership only where a seed is absent.
+    # In the segmented multires driver the cache seeds ACROSS pyramid
+    # levels, so fine levels skip the per-query box ranking entirely —
+    # ~6 ms/frame-iter of the dense color tracker's matcher
+    # (scripts/evidence/color_decomp_log.txt). Within the FLANN-class
+    # approximation contract: the k=1-budget arm already accepts
+    # best-in-chosen-block results, and the cache self-refreshes from
+    # each iteration's matches. No effect on the exact arm.
+    kd_seed_membership: bool = True
+
     kd_warm_start: bool = True
     # Warm cache granularity: one slot per `granule` Morton-consecutive
     # source rows. Any granule-mate's match is a valid radius bound (it is

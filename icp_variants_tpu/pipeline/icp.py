@@ -58,6 +58,11 @@ class ICPTrace(NamedTuple):
 class ICPResult(NamedTuple):
     pose: jax.Array          # (4, 4) final estimate
     trace: ICPTrace
+    # Final per-source-row matched kd BLOCK ids ((capacity,) int32, -1 =
+    # none) when the approximate arm's membership cache is active
+    # (_membership_applies) — the segmented multires driver seeds the
+    # next pyramid level's matcher from these. None otherwise.
+    match_blocks: jax.Array | None = None
 
 
 def _solve(
@@ -231,6 +236,35 @@ def _warm_applies(cfg: ICPConfig) -> bool:
     )
 
 
+# Resident-kernel shape for the dense membership-cache matcher (the
+# approximate arm's SELECT_ALL path): dense raster-coherent gates have
+# ~1 member block each at the wide-block default, so WIDE gates amortize
+# the per-region fixed cost that sparse scattered queries cannot —
+# hardware sweep at color bench shapes: gate 32/64/128 -> 1.84/2.01/2.08
+# f/s, + tile_q 256 -> 2.11 (scripts/evidence/block_target_probe.txt).
+# Sparse paths keep knn.RESIDENT_GATE_WIDTH=32 (ETH: 28.5 vs 26.9 at 64).
+MEMBERSHIP_GATE_WIDTH = 128
+MEMBERSHIP_TILE_Q = 256
+
+
+def _membership_applies(cfg: ICPConfig) -> bool:
+    """Whether the approximate arm's per-row BLOCK-membership cache rides
+    the scan carry: dense SELECT_ALL (row identity is stable across
+    iterations), checks > 0 (the k=1-budget arm — the cache's block choice
+    is exactly the budget the arm already accepts), kd matching, and the
+    sorted-domain match table's constraints (no COLORS weighting — it
+    gathers original-row colors). Mutually exclusive with the warm-start
+    match cache by construction (_warm_applies requires checks == 0), so
+    the two share the scan's cache carry slot."""
+    return (
+        cfg.kd_seed_membership
+        and cfg.matching == Matching.KNN
+        and cfg.matching_checks > 0
+        and cfg.selection == Selection.ALL
+        and cfg.weighting != Weighting.COLORS
+    )
+
+
 def _needs_colors(cfg: ICPConfig) -> bool:
     """Whether any pipeline stage reads per-match colors (the COLORS
     weighting; color-ICP reads colors pre-compaction for the features)."""
@@ -239,7 +273,7 @@ def _needs_colors(cfg: ICPConfig) -> bool:
 
 def _match_kd_stage(
     cfg, q, kd_index, target_index, sel_mask, sel_idx, match_cache,
-    target_feats, orig_map=True,
+    target_feats, orig_map=True, seeded=False,
 ):
     """kd matching stage with optional warm start + match-cache update.
 
@@ -250,7 +284,34 @@ def _match_kd_stage(
     valid duplicate in the scatter. ``orig_map=False`` (cold approximate
     path only) returns SORTED-page-domain indices for the page-ordered
     match table (see _iteration).
+
+    Under ``_membership_applies`` configs ``match_cache`` instead holds
+    per-row BLOCK ids (the approximate arm's membership cache; requires
+    ``orig_map=False``): with ``seeded`` the matcher searches EXACTLY the
+    cached block per row (kdtree.match_kd_cached — no box ranking at
+    all); unseeded it runs the standard k-capped search and only RECORDS
+    each row's matched block for the next level's seed. Either way rows
+    keep their last block when an iteration finds no match, so a row can
+    re-enter once its block comes back in range.
     """
+    if match_cache is not None and _membership_applies(cfg):
+        assert not orig_map, "membership cache needs the sorted match table"
+        if seeded:
+            idx, d2, valid = kdtree.match_kd_cached(
+                q, kd_index, cfg.max_distance, match_cache,
+                query_mask=sel_mask,
+                gate_width=MEMBERSHIP_GATE_WIDTH, tile_q=MEMBERSHIP_TILE_Q,
+            )
+        else:
+            idx, d2, valid = kdtree.match_kd(
+                q, kd_index, target_index, cfg.max_distance,
+                query_mask=sel_mask, checks=cfg.matching_checks,
+                orig_map=False,
+                gate_width=MEMBERSHIP_GATE_WIDTH, tile_q=MEMBERSHIP_TILE_Q,
+            )
+        cap_pad = kd_index.pages.shape[2]
+        new_cache = jnp.where(idx >= 0, idx // cap_pad, match_cache)
+        return idx, d2, valid, new_cache
     if match_cache is None or not cfg.kd_warm_start or target_feats is None:
         idx, d2, valid = kdtree.match_kd(
             q, kd_index, target_index, cfg.max_distance, query_mask=sel_mask,
@@ -294,8 +355,14 @@ def _iteration(
     src_table: jax.Array | None = None,
     tgt_table: jax.Array | None = None,
     tgt_table_kd: jax.Array | None = None,
+    seeded_matching: bool = False,
 ):
     """One pipeline iteration; returns ``(pose, match_cache, trace)``.
+
+    ``seeded_matching`` switches the kd matcher to the approximate arm's
+    SEEDED membership mode (_membership_applies configs whose caller
+    provided a block seed — the segmented multires driver's fine levels):
+    each query searches exactly its cached block, no box ranking.
 
     ``src_table`` / ``tgt_table`` are the fused (capacity, 8) row tables
     (:func:`_fuse_cloud_table`) built once outside the scan; omitted they
@@ -388,6 +455,23 @@ def _iteration(
         sel_mask = selection.select_all(base_mask)
 
     # --- transform (ICPOptimizer.h:251-252) ---------------------------------
+    if stop_after is not None:
+        # Anti-LICM for the stop-after probes: under SELECT_ALL with the
+        # pose held constant (probes never update it), the whole matcher
+        # is loop-invariant and XLA hoists it out of the scan — the
+        # projective profile reported a 24 ms matcher as 0.9 ms. A
+        # key-derived sub-femtometer perturbation of the POSE keeps each
+        # iteration's work real without affecting what is measured.
+        # (Perturbing the queries post-transform, as this probe did
+        # through round 4, left the transform chain itself hoistable —
+        # the per-iteration point/normal transforms then landed in the
+        # first stage whose probe updates the pose, overstating "solve"
+        # by the whole query-construction cost at dense shapes.)
+        eps = jnp.mod(
+            jnp.sum(jax.random.key_data(key).astype(jnp.float32)) * 1e-12,
+            jnp.float32(1e-9),
+        )
+        pose = pose + eps
     # Masked-out queries are pinned to the FIRST valid query position (not 0
     # or a sentinel): their results are discarded via the mask anyway, and an
     # in-cloud anchor keeps every query-tile bbox tight so the indexed k-NN
@@ -397,18 +481,6 @@ def _iteration(
     anchor = src_pts[jnp.argmax(sel_mask)]
     src_pts = jnp.where(sel_mask[:, None], src_pts, anchor)
     src_nrm = se3.transform_normals(source.normals, pose)
-    if stop_after is not None:
-        # Anti-LICM for the stop-after probes: under SELECT_ALL with the
-        # pose held constant (probes never update it), the whole matcher
-        # is loop-invariant and XLA hoists it out of the scan — the
-        # projective profile reported a 24 ms matcher as 0.9 ms. A
-        # key-derived sub-femtometer perturbation keeps each iteration's
-        # work real without affecting what is measured.
-        eps = jnp.mod(
-            jnp.sum(jax.random.key_data(key).astype(jnp.float32)) * 1e-12,
-            jnp.float32(1e-9),
-        )
-        src_pts = src_pts + eps
     if stop_after == "selection":
         return pose, match_cache, _probe_trace(
             jnp.sum(src_pts) + jnp.sum(src_nrm)
@@ -454,10 +526,21 @@ def _iteration(
     elif cfg.color_icp:
         q = knn.color_features(src_pts, source.colors)
         if kd_index is not None and target_index is not None:
+            # Sorted-domain match table for the approximate color path:
+            # folds the in-matcher page_orig mapping gather away (one
+            # row-issue-bound gather per query per iteration — ~3 ms at
+            # the dense tracker's 307k queries) and makes the matched
+            # BLOCK id a cheap division for the membership cache.
+            use_sorted = tgt_table_kd is not None and (
+                match_cache is None or _membership_applies(cfg)
+            )
             idx, _d2, valid, match_cache = _match_kd_stage(
                 cfg, q, kd_index, target_index, sel_mask, sel_idx,
-                match_cache, target_feats,
+                match_cache, target_feats, orig_map=not use_sorted,
+                seeded=seeded_matching,
             )
+            if use_sorted:
+                match_table = tgt_table_kd
         elif target_index is not None:
             idx, _d2, valid = knn.match_indexed(
                 q, target_index, cfg.max_distance, query_mask=sel_mask
@@ -469,10 +552,13 @@ def _iteration(
         # SORTED-domain shortcut (approximate cold kd only): matches come
         # back as page positions and gather from the page-ordered table,
         # folding the page_orig row gather away (gather composition).
-        use_sorted = tgt_table_kd is not None and match_cache is None
+        use_sorted = tgt_table_kd is not None and (
+            match_cache is None or _membership_applies(cfg)
+        )
         idx, _d2, valid, match_cache = _match_kd_stage(
             cfg, src_pts, kd_index, target_index, sel_mask, sel_idx,
             match_cache, target_feats, orig_map=not use_sorted,
+            seeded=seeded_matching,
         )
         if use_sorted:
             match_table = tgt_table_kd
@@ -585,6 +671,7 @@ def _run_icp_jit(
     run_benchmark: bool,
     stop_after: str | None = None,
     kd_index: kdtree.KDIndex | None = None,
+    membership_seed: jax.Array | None = None,
 ) -> ICPResult:
     keys = jax.random.split(key, num_iterations)
 
@@ -602,8 +689,30 @@ def _run_icp_jit(
 
     # Warm-start match cache: one slot per source-row granule, carried
     # through the scan (None — an empty pytree — when warm start is off).
+    # Under _membership_applies configs the same carry slot instead holds
+    # per-row kd BLOCK ids (the approximate arm's membership cache):
+    # seeded from ``membership_seed`` (the segmented driver's previous
+    # pyramid level — the matcher then searches exactly the cached block,
+    # no box ranking), or all -1 to merely RECORD blocks for the next
+    # level while the standard k-capped search runs.
     cache0 = None
-    if kd_index is not None and _warm_applies(cfg):
+    seeded = False
+    emit_blocks = False
+    if (
+        kd_index is not None
+        and _membership_applies(cfg)
+        and kdtree._resident_layout(kd_index)[2]
+    ):
+        # The seeded matcher runs the resident kernel (static shape gate);
+        # past the VMEM budget the standard streaming path runs instead.
+        emit_blocks = True
+        seeded = membership_seed is not None
+        cache0 = (
+            membership_seed.astype(jnp.int32)
+            if seeded
+            else jnp.full((source.points.shape[0],), -1, jnp.int32)
+        )
+    elif kd_index is not None and _warm_applies(cfg):
         n_granules = -(-source.points.shape[0] // cfg.kd_warm_granule)
         cache0 = jnp.full((n_granules,), -1, jnp.int32)
 
@@ -621,14 +730,21 @@ def _run_icp_jit(
     # (one-time composition here instead; gathers are row-issue bound).
     # Guarded to configs whose match consumption never needs original
     # rows: no warm cache (it stores original ids) and no color gathers.
+    # Built whenever the approximate COLOR path or the membership cache
+    # runs (both consume sorted-domain matches); the sparse non-color
+    # path keeps the USE_SORTED_MATCH_TABLE gate (measured ~7% slower
+    # there — original-table Morton gather locality wins at ETH shapes).
     tgt_table_kd = None
     if (
-        USE_SORTED_MATCH_TABLE
-        and kd_index is not None
+        kd_index is not None
         and cfg.matching_checks > 0
         and not _warm_applies(cfg)
         and cfg.weighting != Weighting.COLORS
-        and not cfg.color_icp
+        and (
+            cfg.color_icp
+            or _membership_applies(cfg)
+            or USE_SORTED_MATCH_TABLE
+        )
     ):
         po = kd_index.page_orig
         rows = tgt_table[jnp.clip(po, 0, tgt_table.shape[0] - 1)]
@@ -646,7 +762,7 @@ def _run_icp_jit(
             run_benchmark, target_index=target_index, kd_index=kd_index,
             stop_after=stop_after, match_cache=cache, target_feats=feats,
             src_table=src_table, tgt_table=tgt_table,
-            tgt_table_kd=tgt_table_kd,
+            tgt_table_kd=tgt_table_kd, seeded_matching=seeded,
         )
         if aa is not None:
             # The per-iteration trace reflects the PLAIN step's pose (the
@@ -661,11 +777,14 @@ def _run_icp_jit(
     unroll = (
         SCAN_UNROLL if jax.default_backend() in ("tpu", "axon") else 1
     )
-    (final_pose, _, _), trace = jax.lax.scan(
+    (final_pose, final_cache, _), trace = jax.lax.scan(
         body, (init_pose, cache0, aa0), (strides, keys),
         unroll=unroll,
     )
-    return ICPResult(pose=final_pose, trace=trace)
+    return ICPResult(
+        pose=final_pose, trace=trace,
+        match_blocks=final_cache if emit_blocks else None,
+    )
 
 
 def run_icp(
@@ -761,16 +880,18 @@ def _run_icp_batch_jit(
     run_benchmark: bool,
     kd_indexes: kdtree.KDIndex | None = None,  # leading batch axis per leaf
     stop_after: str | None = None,
+    membership_seed: jax.Array | None = None,  # (B, capacity) int32
 ) -> ICPResult:
-    def one(source, target, pose0, key, gs, gtv_, gv, kd):
+    def one(source, target, pose0, key, gs, gtv_, gv, kd, seed):
         return _run_icp_jit(
             cfg, num_iterations, source, target, pose0, strides, key,
             gs, gtv_, gv, run_benchmark, kd_index=kd, stop_after=stop_after,
+            membership_seed=seed,
         )
 
     return jax.vmap(one)(
         sources, targets, init_poses, keys, gt_src, gt_tgt, gt_valid,
-        kd_indexes,
+        kd_indexes, membership_seed,
     )
 
 
@@ -788,11 +909,17 @@ def run_icp_batch(
     num_source_points: int | None = None,
     kd_indexes: kdtree.KDIndex | None = None,
     stop_after: str | None = None,
+    membership_seed=None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
     pairs/sec headline. All Cloud leaves carry a leading batch dimension;
     multires stride schedules are shared (pass equal-capacity clouds).
+
+    ``membership_seed`` ((B, capacity) int32, approximate arm only)
+    seeds the per-row block-membership cache — see ``_membership_applies``
+    and the segmented multires driver, which threads each level's
+    ``ICPResult.match_blocks`` into the next level's seed.
 
     ``num_source_points`` seeds the shared multires stride schedule; pass
     the max VALID count across the batch (the single-pair runner's
@@ -830,6 +957,10 @@ def run_icp_batch(
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
         gt_src, gt_tgt, gtv, run_benchmark, kd_indexes=kd_indexes,
         stop_after=stop_after,
+        membership_seed=(
+            None if membership_seed is None
+            else jnp.asarray(membership_seed, jnp.int32)
+        ),
     )
 
 
@@ -972,18 +1103,38 @@ def run_icp_batch_multires_segmented(
     ))
     poses = jnp.asarray(init_poses, jnp.float32)
     traces = []
+    # Approximate-arm membership cache threads ACROSS pyramid levels:
+    # level L+1's rows seed from their stride-parent's matched block
+    # (strides halve, so fine row j' descends from coarse row j'//ratio;
+    # -1 parents borrow the next neighbor's block). With a seed, every
+    # level after the first runs the SEEDED matcher — no per-query box
+    # ranking anywhere in the fine levels (see kdtree.nn_search_kd_cached).
+    blk, prev_stride = None, None
     for li, (stride, count) in enumerate(_stride_groups(strides)):
         src_l = _slice_clouds_stride(sources, stride)
         cfg_l = cfg.replace(multi_resolution=False, n_iterations=count)
+        seed = None
+        if blk is not None and _membership_applies(cfg_l):
+            cap_l = src_l.points.shape[1]
+            parent = jnp.minimum(
+                jnp.arange(cap_l, dtype=jnp.int32) * stride // prev_stride,
+                blk.shape[1] - 1,
+            )
+            s0 = blk[:, parent]
+            s1 = blk[:, jnp.minimum(parent + 1, blk.shape[1] - 1)]
+            seed = jnp.where(s0 >= 0, s0, s1)
         res = run_icp_batch(
             cfg_l, src_l, targets, poses,
             key=jax.random.fold_in(key, li),
             kd_indexes=kd_indexes, run_benchmark=run_benchmark,
             gt_source_points=gt_source_points,
             gt_target_points=gt_target_points, gt_valid=gt_valid,
+            membership_seed=seed,
         )
         poses = res.pose
         traces.append(res.trace)
+        if res.match_blocks is not None:
+            blk, prev_stride = res.match_blocks, stride
     trace = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *traces)
     return ICPResult(pose=poses, trace=trace)
 
@@ -1009,7 +1160,8 @@ def _kd_resident_will_run(cfg: ICPConfig, capacity: int) -> bool:
     a target of this capacity (page-table shapes depend on capacity
     alone)."""
     depth = kdtree.kd_depth_for(
-        capacity, cfg.kd_block_target or kdtree.BLOCK_TARGET)
+        capacity, cfg.kd_block_target or kdtree.default_block_target(
+            cfg.color_icp, cfg.matching_checks > 0))
     nc = 1 << depth
     cap_pad = ((-(-capacity // nc)) + 127) // 128 * 128
     # Either layout qualifies: the preferred one-block-per-page table, or
@@ -1068,5 +1220,6 @@ def build_kd_for(
         feats = np.asarray(jax.device_get(target.points))
     return kdtree.build_kd_index(
         feats, valid,
-        block_target=cfg.kd_block_target or kdtree.BLOCK_TARGET,
+        block_target=cfg.kd_block_target or kdtree.default_block_target(
+            cfg.color_icp, cfg.matching_checks > 0),
     )

@@ -66,6 +66,63 @@ def _accumulate_normal_equations(
     return ata, atb
 
 
+def _point_row_specs(s: jax.Array, d: jax.Array, w):
+    """The three small-angle point rows of :func:`_point_rows` as sparse
+    column SPECS for :func:`_accumulate_normal_equations_soa` — each row
+    has exactly three nonzero columns (two cross-term coordinates and a
+    constant 1), so the structure-aware accumulation touches 9 products
+    per row instead of 36."""
+    return [
+        ([None, s[:, 2], -s[:, 1], 1.0, None, None], d[:, 0] - s[:, 0], w),
+        ([-s[:, 2], None, s[:, 0], None, 1.0, None], d[:, 1] - s[:, 1], w),
+        ([s[:, 1], -s[:, 0], None, None, None, 1.0], d[:, 2] - s[:, 2], w),
+    ]
+
+
+def _accumulate_normal_equations_soa(
+    row_specs, axis_name: str | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Normal-equation accumulation without (N, R, 6) intermediates.
+
+    ``row_specs`` is a list of ``(cols, rhs, w)`` per residual row type:
+    ``cols`` gives the 6 Jacobian columns as (N,) arrays, Python floats
+    (constants) or None (structural zeros); ``rhs``/``w`` are (N,). The
+    math is identical to :func:`_accumulate_normal_equations` (ata[i,j] =
+    sum_r sum_n w_r^2 a_i a_j) up to f32 reassociation, but each entry is
+    ONE fused multiply-reduce over (N,) vectors. The einsum formulation
+    materializes its (N, R, 6) operands, and TPU pads trailing (R, 6)
+    dims to full (8, 128) tiles — a 21x HBM inflation that cost ~7
+    ms/frame-iter at the dense color tracker's 307k matches (stop-after
+    profile, scripts/evidence/color_decomp_log.txt). ETH-scale sparse
+    selections never noticed (N ~ 4k). Sharded callers psum the final
+    6x6/6 like before.
+    """
+    ata = [[0.0] * 6 for _ in range(6)]
+    atb = [0.0] * 6
+    for cols, rhs, w in row_specs:
+        w2 = w * w
+        for i in range(6):
+            ci = cols[i]
+            if ci is None:
+                continue
+            atb[i] = atb[i] + jnp.sum(w2 * ci * rhs)
+            for j in range(i, 6):
+                cj = cols[j]
+                if cj is None:
+                    continue
+                ata[i][j] = ata[i][j] + jnp.sum(w2 * ci * cj)
+    for i in range(6):
+        for j in range(i):
+            ata[i][j] = ata[j][i]
+    ata_m = jnp.stack([jnp.stack([jnp.asarray(v, jnp.float32)
+                                  for v in row]) for row in ata])
+    atb_v = jnp.stack([jnp.asarray(v, jnp.float32) for v in atb])
+    if axis_name is not None:
+        ata_m = jax.lax.psum(ata_m, axis_name)
+        atb_v = jax.lax.psum(atb_v, axis_name)
+    return ata_m, atb_v
+
+
 def estimate_pose_point_to_plane(
     src: jax.Array,          # (N, 3) matched transformed source points
     tgt: jax.Array,          # (N, 3) matched target points
@@ -89,33 +146,20 @@ def estimate_pose_point_to_plane(
     n = jnp.where(jnp.isfinite(tgt_normals), tgt_normals, 0.0)
     finite_n = jnp.isfinite(tgt_normals).all(axis=1).astype(src.dtype)
 
-    rot_part = jnp.stack(
-        [
-            n[:, 2] * s[:, 1] - n[:, 1] * s[:, 2],
-            n[:, 0] * s[:, 2] - n[:, 2] * s[:, 0],
-            n[:, 1] * s[:, 0] - n[:, 0] * s[:, 1],
-        ],
-        axis=1,
-    )  # (ICPOptimizer.h:698-703) == cross(s, n)
-    plane_rows = jnp.concatenate([rot_part, n], axis=1)[:, None, :]  # (N, 1, 6)
-    plane_rhs = (jnp.sum(n * d, axis=1) - jnp.sum(n * s, axis=1))[:, None]
+    # Plane row: [cross(s, n), n] (ICPOptimizer.h:698-703), as sparse
+    # column specs — no (N, 4, 6) row tensor is ever materialized (see
+    # _accumulate_normal_equations_soa for the dense-shape rationale).
+    plane_cols = [
+        n[:, 2] * s[:, 1] - n[:, 1] * s[:, 2],
+        n[:, 0] * s[:, 2] - n[:, 2] * s[:, 0],
+        n[:, 1] * s[:, 0] - n[:, 0] * s[:, 1],
+        n[:, 0], n[:, 1], n[:, 2],
+    ]
+    plane_rhs = jnp.sum(n * d, axis=1) - jnp.sum(n * s, axis=1)
 
-    point_rows = _point_rows(s)                       # (N, 3, 6)
-    point_rhs = d - s                                 # (N, 3)
-
-    rows = jnp.concatenate([plane_rows, point_rows], axis=1)  # (N, 4, 6)
-    rhs = jnp.concatenate([plane_rhs, point_rhs], axis=1)     # (N, 4)
-    row_w = jnp.stack(
-        [
-            LAMBDA_PLANE * w * finite_n,
-            LAMBDA_POINT * w,
-            LAMBDA_POINT * w,
-            LAMBDA_POINT * w,
-        ],
-        axis=1,
-    )
-
-    ata, atb = _accumulate_normal_equations(rows, rhs, row_w, axis_name)
+    specs = [(plane_cols, plane_rhs, LAMBDA_PLANE * w * finite_n)]
+    specs += _point_row_specs(s, d, LAMBDA_POINT * w)
+    ata, atb = _accumulate_normal_equations_soa(specs, axis_name)
     x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=ata.dtype), atb)
 
     R = se3.euler_xyz_to_matrix(x[0], x[1], x[2])
@@ -159,25 +203,20 @@ def estimate_pose_symmetric(
     ).astype(src.dtype)
     n_sum = ns + nt
 
-    sym_rows = jnp.concatenate([jnp.cross(s + d, n_sum), n_sum], axis=1)[:, None, :]
-    sym_rhs = jnp.sum((d - s) * n_sum, axis=1)[:, None]
+    # Symmetric row: [cross(s + d, n_sum), n_sum] as sparse column specs
+    # (no (N, 4, 6) materialization; see _accumulate_normal_equations_soa).
+    sd = s + d
+    sym_cols = [
+        sd[:, 1] * n_sum[:, 2] - sd[:, 2] * n_sum[:, 1],
+        sd[:, 2] * n_sum[:, 0] - sd[:, 0] * n_sum[:, 2],
+        sd[:, 0] * n_sum[:, 1] - sd[:, 1] * n_sum[:, 0],
+        n_sum[:, 0], n_sum[:, 1], n_sum[:, 2],
+    ]
+    sym_rhs = jnp.sum((d - s) * n_sum, axis=1)
 
-    point_rows = _point_rows(s)
-    point_rhs = d - s
-
-    rows = jnp.concatenate([sym_rows, point_rows], axis=1)
-    rhs = jnp.concatenate([sym_rhs, point_rhs], axis=1)
-    row_w = jnp.stack(
-        [
-            LAMBDA_SYMMETRIC * w * finite_n,
-            LAMBDA_POINT * w,
-            LAMBDA_POINT * w,
-            LAMBDA_POINT * w,
-        ],
-        axis=1,
-    )
-
-    ata, atb = _accumulate_normal_equations(rows, rhs, row_w, axis_name)
+    specs = [(sym_cols, sym_rhs, LAMBDA_SYMMETRIC * w * finite_n)]
+    specs += _point_row_specs(s, d, LAMBDA_POINT * w)
+    ata, atb = _accumulate_normal_equations_soa(specs, axis_name)
     ata = ata + (TIKHONOV_SYMMETRIC**2) * jnp.eye(6, dtype=ata.dtype)
     x = jnp.linalg.solve(ata, atb)
 

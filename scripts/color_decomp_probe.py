@@ -60,19 +60,25 @@ def main():
         f"tile_t={tile_t} d={kd.block_min.shape[1]} ===")
 
     # --- 1. fused per-stage split of the production executable ---------
-    times = profiling.profile_fused_stages(
-        cfg, src, tgt, key=jax.random.PRNGKey(0), kd_index=kd)
-    log("fused stages (ms/iter at 307200 queries):\n" + times.report())
+    if "--skip-fused" not in sys.argv:
+        times = profiling.profile_fused_stages(
+            cfg, src, tgt, key=jax.random.PRNGKey(0), kd_index=kd)
+        log("fused stages (ms/iter at 307200 queries):\n" + times.report())
 
     # --- 2+3. matcher-internal bisection + sweeps ----------------------
     q6 = knn.color_features(src.points, src.colors)
     nq = q6.shape[0]
 
     def scan_of(fn):
+        # Carry only a SCALAR digest per iteration: stacked (iters, Nq)
+        # outputs are ~12 MB and their device_get rides the tunnel,
+        # inflating per-iter attributions by several ms.
         def run(qb):
             def body(c, _):
                 out = fn(qb + c * 1e-6)
-                return c + 1.0, jax.tree.map(lambda x: x[..., :1], out)
+                dig = sum(jnp.sum(x[:128].astype(jnp.float32))
+                          for x in jax.tree.leaves(out))
+                return c + 1.0, dig
             _, outs = jax.lax.scan(body, 0.0, None, length=10)
             return outs
         return jax.jit(run)
@@ -82,6 +88,13 @@ def main():
         static_argnames=("probe", "k", "tile_q", "gate_width", "stage"))
     def search_probe(qq, kk, probe=0, k=1, tile_q=128, gate_width=None,
                      stage="full"):
+        if stage == "production":
+            # The exact production entry point (what match_kd calls at
+            # checks>0 when the resident layout fits).
+            idx, d2, _fail = kdtree.nn_search_kd_resident(
+                qq, kk, 0.1, k=k, tile_q=tile_q, gate_width=gate_width,
+                orig_map=False)
+            return idx, d2
         d = kk.block_min.shape[1]
         qp = knn._pad_rows(
             knn._pad_features(qq[:, :d]),
@@ -96,7 +109,7 @@ def main():
                 qp, binit, kk, tile_q=tile_q, k=k, interpret=False,
                 n_gate=tile_q // gw))
         if stage == "prefix":
-            return member.sum(), hot.sum(), resid.sum()
+            return (member.sum() + hot.sum() + resid.sum()).reshape(1, 1)
         dist, idx = knn._run_resident_kernel_flat(
             qp[None], binit[None], hot[None], (member & ~hot)[None],
             lb_tile[None], submask[None], kk.pages[None], 0.1,
@@ -130,7 +143,10 @@ def main():
             best = min(best, (time.perf_counter() - t0) / 3 / 10 * 1000)
         log(f"{name:40s}: {best:8.3f} ms/frame-iter (compile {tc:.0f}s)")
 
-    log(f"matcher bisection at {nq} queries:")
+    log(f"matcher bisection at {nq} queries (scalar-digest carry):")
+    timeit("production nn_search_kd_resident g=32", stage="production", k=1)
+    timeit("production nn_search_kd_resident g=64", stage="production",
+           k=1, gate_width=64)
     timeit("prefix only (k=1, gate=32)", stage="prefix", k=1)
     timeit("probe=2 copy+codeDMA", probe=2, k=1)
     timeit("probe=1 +walk", probe=1, k=1)
@@ -138,6 +154,8 @@ def main():
     timeit("full k=1 gate=64", probe=0, k=1, gate_width=64)
     timeit("full k=1 gate=128", probe=0, k=1, gate_width=128)
     timeit("full k=1 gate=32 tile_q=256", probe=0, k=1, tile_q=256)
+    timeit("full k=1 gate=64 tile_q=256", probe=0, k=1, tile_q=256,
+           gate_width=64)
     timeit("full k=4 gate=32 (exact-arm width)", probe=0, k=4)
     log("color decomposition done")
     return 0

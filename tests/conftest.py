@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ON_TPU = os.environ.get("ICP_TPU_TEST_ON_TPU", "0") == "1"
 
 if not ON_TPU:
+    # No persistent compile cache for CPU test runs: XLA:CPU AOT results
+    # are machine-feature-specific, and loading an entry produced under a
+    # different host feature set SEGFAULTS in cache deserialization (the
+    # loader itself warns "could lead to execution errors such as
+    # SIGILL"; observed killing the suite at test_trajectory_refinement).
+    # The cache exists for the slow remote TPU compiles — CPU test
+    # compiles are cheap. Must be set before icp_variants_tpu imports.
+    os.environ.setdefault("ICP_TPU_JAX_CACHE", "off")
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

