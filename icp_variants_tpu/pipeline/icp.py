@@ -124,13 +124,15 @@ def _solve(
 # suite's hundreds of scan compiles stay light (numerics are identical).
 SCAN_UNROLL = 5
 
-# Sorted-domain match-table shortcut (see _run_icp_jit): removes the
-# page_orig row gather from the scan, but measured ~7% SLOWER end-to-end
-# (19.2 vs 20.9 pairs/s, interleaved A/B in
-# scripts/evidence/approx_arm_log.txt) — the 1-wide int gather is cheap
-# and the page-ordered table gather loses the original row domain's
-# Morton locality. Kept implemented + tested for future hardware.
-USE_SORTED_MATCH_TABLE = False
+# NOTE: a sparse-path "sorted-domain match table" default switch
+# (USE_SORTED_MATCH_TABLE) lived here through rounds 4-5. It lost TWICE
+# on hardware (r4: 19.2 vs 20.9 pairs/s; r5 at the wide-block shapes:
+# 25.4 vs 28.6 — the page-ordered table gather loses the original row
+# domain's Morton locality for SPARSE scattered queries) and was deleted
+# per the prune-twice-losers rule. The sorted-table MACHINERY ships — the
+# dense color / membership-cache paths below consume it, where dense
+# raster-coherent queries keep their gather locality either way and it
+# folds the 307k-row page_orig gather out of the scan.
 
 
 def _compact_capacity(n: int, proba: float) -> int:
@@ -731,20 +733,17 @@ def _run_icp_jit(
     # Guarded to configs whose match consumption never needs original
     # rows: no warm cache (it stores original ids) and no color gathers.
     # Built whenever the approximate COLOR path or the membership cache
-    # runs (both consume sorted-domain matches); the sparse non-color
-    # path keeps the USE_SORTED_MATCH_TABLE gate (measured ~7% slower
-    # there — original-table Morton gather locality wins at ETH shapes).
+    # runs (both consume sorted-domain matches); the sparse scattered
+    # path measured SLOWER through the page-ordered table twice (see the
+    # prune note above USE_SORTED_... in the module constants) and keeps
+    # the original-row domain.
     tgt_table_kd = None
     if (
         kd_index is not None
         and cfg.matching_checks > 0
         and not _warm_applies(cfg)
         and cfg.weighting != Weighting.COLORS
-        and (
-            cfg.color_icp
-            or _membership_applies(cfg)
-            or USE_SORTED_MATCH_TABLE
-        )
+        and (cfg.color_icp or _membership_applies(cfg))
     ):
         po = kd_index.page_orig
         rows = tgt_table[jnp.clip(po, 0, tgt_table.shape[0] - 1)]

@@ -35,3 +35,22 @@ import jax  # noqa: E402
 
 if not ON_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite accumulates hundreds of XLA:CPU JIT executables in one
+    process; past a threshold the NEXT backend_compile_and_load segfaults
+    deterministically (observed at test_workloads::test_trajectory_
+    refinement — the identical program compiles fine in isolation, so the
+    crash is process-state, not the program). Dropping the in-memory
+    executable caches per module keeps the live-code footprint bounded;
+    within-module compile reuse is preserved.
+    """
+    yield
+    jax.clear_caches()

@@ -916,10 +916,13 @@ class TestSortedDomain:
         np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_o))
         np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_o))
 
-    def test_pipeline_sorted_shortcut_matches_orig_domain(self, monkeypatch):
-        """RANDOM+compact selection with checks>0 activates the sorted
-        shortcut; forcing the orig path (via the color-consumer guard)
-        must give the identical pose trajectory."""
+    def test_pipeline_sorted_shortcut_matches_orig_domain(self):
+        """The shipping sorted-domain path (dense SELECT_ALL + checks —
+        the membership-cache record mode) must give the identical pose
+        trajectory as the original-row domain (kd_seed_membership=False
+        disables membership, hence the sorted table). The sparse-path
+        sorted DEFAULT was deleted after losing twice on hardware (see
+        icp.py's prune note); this pins the surviving consumers."""
         from icp_variants_tpu.core.cloud import from_numpy
         from icp_variants_tpu.ops import normals as nrm
         from icp_variants_tpu.pipeline import icp
@@ -943,21 +946,12 @@ class TestSortedDomain:
         cfg = ICPConfig(
             metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
             max_distance=1.0, n_iterations=6, matching_checks=16,
-            selection=Selection.RANDOM, selection_proba=0.3)
+            selection=Selection.ALL)
         assert not icp._warm_applies(cfg)
-        # The shortcut is off in production (measured ~7% slower on v5e;
-        # see icp.USE_SORTED_MATCH_TABLE) — enable it here so the path
-        # stays correct for future hardware.
-        monkeypatch.setattr(icp, "USE_SORTED_MATCH_TABLE", True)
+        assert icp._membership_applies(cfg)
         r_sorted = icp.run_icp(cfg, src, tgt, kd_index=kd)
-        monkeypatch.setattr(icp, "_needs_colors", lambda c: True)
-        # kd_warm_start=False is behaviorally identical under RANDOM
-        # selection (warm never applies) but changes the static jit key,
-        # forcing a retrace that sees the monkeypatched color guard —
-        # without it the first run's cached executable would be reused
-        # and the comparison would be vacuous.
         r_orig = icp.run_icp(
-            cfg.replace(kd_warm_start=False), src, tgt, kd_index=kd)
+            cfg.replace(kd_seed_membership=False), src, tgt, kd_index=kd)
         np.testing.assert_allclose(
             np.asarray(r_sorted.pose), np.asarray(r_orig.pose), atol=1e-6)
         assert np.array_equal(
