@@ -726,7 +726,8 @@ def main():
     from icp_variants_tpu.pipeline.config import Selection
 
     sections = os.environ.get(
-        "BENCH_SECTIONS", "eth,eth_indoor,tum_projective,color_multires"
+        "BENCH_SECTIONS",
+        "eth,eth_indoor,eth_lm,tum_projective,color_multires",
     ).split(",")
     pairs = make_pairs()
 
@@ -825,6 +826,27 @@ def main():
 
     if "eth_indoor" in sections:
         section("eth_indoor", _eth_indoor)
+
+    def _eth_lm():
+        # The reference's ACTUAL ETH default is the Ceres nonlinear-LM
+        # optimizer with point-to-point (main.cpp:22-41, USE_LINEAR_ICP
+        # 0) — every other section runs Minimizer.LINEAR. One arm at
+        # bench shapes so the parity claim for the reference's default
+        # configuration carries a measured number (<=10 Marquardt-
+        # Nielsen inner steps per iteration, solvers/gauss_newton.py —
+        # the reference pays the same through Ceres).
+        from icp_variants_tpu.pipeline.config import Metric, Minimizer
+
+        dt_lm = bench_tpu(
+            pairs, Selection.RANDOM, state=state,
+            metric=Metric.POINT_TO_POINT,
+            minimizer=Minimizer.NONLINEAR_LM, matching_checks=16,
+        )
+        out["eth_lm_point_pairs_per_sec"] = round(1.0 / dt_lm, 4)
+        out["eth_lm_point_vs_baseline"] = round(denom / dt_lm, 3)
+
+    if "eth_lm" in sections:
+        section("eth_lm", _eth_lm)
 
     if "tum_projective" in sections or "color_multires" in sections:
         tum_state = prepare_tum_state()
