@@ -45,20 +45,39 @@ def _run_refine(args, cfg, res, eth) -> None:
                 res, extra_edges=edges, mesh=mesh)
         else:
             print("refine: no loop-closure candidates within radius")
-    # GT trajectory from the CSV's relative poses (reading -> reference,
-    # ETHDataLoader.h:72-101), composed the same way as the odometry.
+    # GT trajectory convention follows the CSV flavor (ETHDataLoader.h):
+    # _local csvs store scans in their own frames and the pose column IS
+    # the true reading->reference transform — compose it; _global csvs
+    # store PRE-ALIGNED scans (the pose column only seeds the driver's
+    # perturbation), so the true scan-to-scan transform is the identity
+    # and the GT trajectory is all-identity.
+    is_local = "_local" in args.pose_csv
     gt = [np.eye(4, dtype=np.float32)]
     for k in range(len(res.pairs)):
-        gt.append((gt[-1] @ loader._gt_pose(res.pairs[k].index)).astype(
-            np.float32))
+        step = (loader._gt_pose(res.pairs[k].index)
+                if is_local else np.eye(4, dtype=np.float32))
+        gt.append((gt[-1] @ step).astype(np.float32))
 
     def ate(traj):
         return float(np.sqrt(np.mean([
             np.sum((t[:3, 3] - g[:3, 3]) ** 2) for t, g in zip(traj, gt)
         ])))
 
+    def edge_rms(traj):
+        import jax.numpy as jnp
+
+        from icp_variants_tpu.parallel import pose_graph as pg
+
+        poses = jnp.asarray(np.stack(traj), jnp.float32)
+        r = np.asarray(pg.edge_residuals(
+            jnp.zeros((poses.shape[0], 6), jnp.float32), poses, graph))
+        return float(np.sqrt(np.mean(r * r)))
+
     print(f"refine: {len(odometry)} poses, {graph.edge_i.shape[0]} edges")
-    print(f"trajectory ATE vs GT: odometry {ate(odometry):.6f} m "
+    print(f"edge residual RMS: odometry {edge_rms(odometry):.6f} "
+          f"-> refined {edge_rms(refined):.6f}")
+    print(f"trajectory ATE vs GT ({'local' if is_local else 'global'} "
+          f"convention): odometry {ate(odometry):.6f} m "
           f"-> refined {ate(refined):.6f} m")
 
 
