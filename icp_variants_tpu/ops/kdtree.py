@@ -747,6 +747,7 @@ def nn_search_kd_cached(
     tile_q: int | None = None,
     gate_width: int | None = None,
     interpret: bool = False,
+    pose: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Approximate 1-NN with SEEDED membership: query i's candidate set is
     exactly block ``blk_ids[i]`` of the index (-1 = no search, idx -1).
@@ -760,6 +761,11 @@ def nn_search_kd_cached(
     mode is enabled (dense SELECT_ALL fine pyramid levels). Returns
     ``(sorted_idx, d2)`` in the PAIR-LOCAL page domain; no certificate.
     Requires the resident layout (callers gate on _resident_layout).
+
+    ``pose`` (4, 4): ``queries`` are RAW (untransformed) source features
+    and the kernel applies ``R @ p + t`` to the spatial columns per gate
+    — the caller's per-iteration (Nq, 8) transformed-table
+    materialization (each (8,128)-lane-padded) disappears from the scan.
     """
     from icp_variants_tpu.ops import knn
 
@@ -794,6 +800,7 @@ def nn_search_kd_cached(
         n_features=d, interpret=interpret, gate_width=gate_width,
         packed=False, ranges_rows=ranges,
         restrict_col=knn.FEATURE_PAD - 1,
+        pose=None if pose is None else pose.reshape(16),
     )
     return idx[:nq, 0], dist[:nq, 0]
 
@@ -803,6 +810,7 @@ def nn_search_kd_cached_oracle(
     index: KDIndex,
     max_distance: float,
     blk_ids: jax.Array,
+    pose: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Portable (XLA-only) oracle for :func:`nn_search_kd_cached`: exact
     best-in-assigned-block via one contiguous row gather — identical
@@ -811,6 +819,9 @@ def nn_search_kd_cached_oracle(
     d = index.block_min.shape[1]
     cap = dcap // d
     cap_pad = index.pages.shape[2]
+    if pose is not None:
+        spatial = queries[:, :3] @ pose[:3, :3].T + pose[:3, 3]
+        queries = jnp.concatenate([spatial, queries[:, 3:]], axis=1)
     blk = jnp.clip(blk_ids.astype(jnp.int32), -1, nc - 1)
     cand = _gather_rows(index.block_pts, jnp.maximum(blk, 0)[:, None])
     d2 = None
@@ -836,6 +847,7 @@ def match_kd_cached(
     impl: str | None = None,
     gate_width: int | None = None,
     tile_q: int | None = None,
+    pose: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Matching stage over SEEDED block membership (approximate arm only).
     Same ``(indices, dist2, valid)`` contract as :func:`match_kd` with
@@ -849,10 +861,10 @@ def match_kd_cached(
     if impl == "v2":
         idx, d2 = nn_search_kd_cached(
             queries, index, float(max_distance), blk, interpret=interpret,
-            gate_width=gate_width, tile_q=tile_q)
+            gate_width=gate_width, tile_q=tile_q, pose=pose)
     else:
         idx, d2 = nn_search_kd_cached_oracle(
-            queries, index, float(max_distance), blk)
+            queries, index, float(max_distance), blk, pose=pose)
     valid = (d2 <= max_distance) & (idx >= 0)
     if query_mask is not None:
         valid = valid & query_mask

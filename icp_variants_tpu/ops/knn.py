@@ -1278,6 +1278,7 @@ def _make_resident_kernel(
     tile_t: int, nc_real: int, nqt: int, n_features: int,
     quant_scale: float, tile_q: int, gate_width: int, probe: int = 0,
     packed: bool = False, pixel_window=None, restrict_col: int | None = None,
+    transform_pose: bool = False,
 ):
     """Resident-pages search kernel (single-phase): grid = (pair, query
     tile); the first tile of each pair bulk-copies the pair's full page
@@ -1300,6 +1301,15 @@ def _make_resident_kernel(
     ``probe`` (perf-bisection aid, scripts/resident_bench.py): 1 = span
     scan without distance compute, 2 = also skip the span scan (copy +
     code DMA only). Probe results are NOT valid matches.
+
+    ``transform_pose``: the query table holds RAW (untransformed) source
+    features and an extra (1, 16) row-major pose operand follows the
+    binit ref; the kernel applies ``R @ p + t`` to the three spatial
+    feature columns per gate — a handful of broadcast VPU ops — so the
+    caller can keep ONE loop-invariant query table across a whole ICP
+    scan instead of materializing a transformed (and (8,128)-padded)
+    (Nq, 8) table every iteration (~2 ms/frame-iter of HBM churn at the
+    dense color tracker's 307k queries).
 
     ``restrict_col`` (the cached-membership mode, kdtree.nn_search_kd_
     cached): query column ``restrict_col`` carries each query's OWN block
@@ -1336,24 +1346,27 @@ def _make_resident_kernel(
                           # each copy stream is one contiguous region (the
                           # 3-D layout split the bulk copy into per-block
                           # descriptors)
-        q_ref,            # (tile_q, FEATURE_PAD) VMEM
+        q_ref,            # (tile_q, FEATURE_PAD) VMEM; RAW source
+                          #   features when transform_pose is set
         binit_ref,        # (tile_q, 1) VMEM per-query initial bound
-        dist_ref,         # out (tile_q, 1)
-        idx_ref,          # out (tile_q, 1)
-        vcode_ref,        # SMEM (2, 8, nc_pad) int32: DOUBLE-BUFFERED
-                          #   code/mask landings — the code DMA for step
-                          #   p+1 starts during step p, so its latency
-                          #   never sits on the critical path (a start+
-                          #   wait in the same step cost ~5 us/step,
-                          #   which DOMINATED dense workloads: 19200
-                          #   steps at TUM shapes = ~96 of the 101
-                          #   ms/frame/iter, scripts/color_kernel_probe)
-        vids_ref,         # SMEM (n_gate, nc_pad) int32: per-gate
-                          #   compacted member-id lists
-        vpages_ref,       # VMEM (nc_real*8, tile_t): THE resident pages
-        code_sems,        # DMA (2,)
-        page_sems,        # DMA (n_streams,)
+        *rest_refs,       # [pose_ref (1, 16) VMEM iff transform_pose,]
+                          #   dist/idx outputs + scratches (below)
     ):
+        # vcode_ref: SMEM (2, 8, nc_pad) int32 DOUBLE-BUFFERED code/mask
+        #   landings — the code DMA for step p+1 starts during step p,
+        #   so its latency never sits on the critical path (a start+wait
+        #   in the same step cost ~5 us/step, which DOMINATED dense
+        #   workloads: 19200 steps at TUM shapes = ~96 of the 101
+        #   ms/frame/iter, scripts/color_kernel_probe);
+        # vids_ref: SMEM (n_gate, nc_pad) per-gate member-id lists;
+        # vpages_ref: VMEM (nc_real*8, tile_t) THE resident pages;
+        # code_sems DMA (2,), page_sems DMA (n_streams,).
+        if transform_pose:
+            (pose_ref, dist_ref, idx_ref, vcode_ref, vids_ref,
+             vpages_ref, code_sems, page_sems) = rest_refs
+        else:
+            (dist_ref, idx_ref, vcode_ref, vids_ref,
+             vpages_ref, code_sems, page_sems) = rest_refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         p = b * nqt + i
@@ -1468,6 +1481,23 @@ def _make_resident_kernel(
         for g in range(n_gate):
             rows = slice(g * gate_width, (g + 1) * gate_width)
             qg = [q_ref[rows, c:c + 1] for c in range(n_features)]
+            if transform_pose:
+                # Apply R @ p + t to the spatial columns in-register:
+                # broadcast (1, 1) pose entries against (gate_width, 1)
+                # coordinate slices. Non-spatial features (colors) pass
+                # through untransformed.
+                P = pose_ref[0:1, :]   # row 0 lanes 0-15 hold the pose
+                px, py, pz = qg[0], qg[1], qg[2]
+                # (pr, not r: Python 3.12 inlines comprehensions into the
+                # enclosing frame, and reusing the kernel's `r` local here
+                # broke the walk closures with a NameError.)
+                qg = [
+                    P[:, 4 * pr:4 * pr + 1] * px
+                    + P[:, 4 * pr + 1:4 * pr + 2] * py
+                    + P[:, 4 * pr + 2:4 * pr + 3] * pz
+                    + P[:, 4 * pr + 3:4 * pr + 4]
+                    for pr in range(3)
+                ] + qg[3:]
             if pixel_window is not None:
                 u0 = q_ref[rows, 3:4]           # projected pixel center
                 v0 = q_ref[rows, 4:5]
@@ -1540,6 +1570,7 @@ def _run_resident_kernel_flat(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, gate_width, interpret, probe=0,
     packed=False, ranges_rows=None, pixel_window=None, restrict_col=None,
+    pose=None,
 ):
     """Flat batched resident-kernel invocation (same operand preparation
     as :func:`_run_bitmap_kernel_flat`, grid (B, nqt) so each pair's first
@@ -1602,7 +1633,7 @@ def _run_resident_kernel_flat(
     kernel = _make_resident_kernel(
         tile_t, nc, nq_tiles, n_features, quant_scale, tile_q, gate_width,
         probe, packed=packed, pixel_window=pixel_window,
-        restrict_col=restrict_col,
+        restrict_col=restrict_col, transform_pose=pose is not None,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1621,7 +1652,15 @@ def _run_resident_kernel_flat(
                 lambda b_, i, *_: (b_ * nq_tiles + i, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ] + ([
+            # One (8, 128) tile per pair (Mosaic block shapes must tile
+            # (8, 128)); the 16 pose entries live in row 0, lanes 0-15.
+            pl.BlockSpec(
+                (8, 128),
+                lambda b_, i, *_: (b_, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] if pose is not None else []),
         out_specs=[
             pl.BlockSpec(
                 (tile_q, 1),
@@ -1665,6 +1704,11 @@ def _run_resident_kernel_flat(
         pages.reshape(b * n_pages * 8, tile_t),
         q.reshape(b * nq_pad, f),
         binit.reshape(b * nq_pad, 1),
+        *(() if pose is None else (
+            jnp.zeros((b, 8, 128), jnp.float32)
+            .at[:, 0, :16].set(pose.reshape(b, 16))
+            .reshape(b * 8, 128),
+        )),
     )
     return dist.reshape(b, nq_pad, 1), idx.reshape(b, nq_pad, 1)
 
@@ -1674,7 +1718,7 @@ def _resident_search_fn(
     tile_q: int, tile_t: int, n_features: int,
     max_distance: float, gate_width: int, interpret: bool,
     packed: bool = False, has_ranges: bool = False, pixel_window=None,
-    restrict_col=None,
+    restrict_col=None, has_pose: bool = False,
 ):
     """Build (and cache) the custom-vmap resident searcher (same batching
     design as :func:`_bitmap_search_fn`: the pair axis joins the kernel
@@ -1686,11 +1730,14 @@ def _resident_search_fn(
         pixel_window=pixel_window, restrict_col=restrict_col,
     )
 
-    def search(q, binit, hot, cold, lb_tile, submask, pages, *ranges):
-        rr = ranges[0][None] if has_ranges else None
+    def search(q, binit, hot, cold, lb_tile, submask, pages, *extras):
+        extras = list(extras)
+        pose = extras.pop()[None] if has_pose else None
+        rr = extras[0][None] if has_ranges else None
         dist, idx = _run_resident_kernel_flat(
             q[None], binit[None], hot[None], cold[None], lb_tile[None],
-            submask[None], pages[None], max_distance, ranges_rows=rr, **kw
+            submask[None], pages[None], max_distance, ranges_rows=rr,
+            pose=pose, **kw
         )
         return dist[0], idx[0]
 
@@ -1702,12 +1749,13 @@ def _resident_search_fn(
             x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
             for x, b in zip(args, in_batched)
         ]
+        pose = flat.pop() if has_pose else None
         if has_ranges:
             *flat, rr = flat
         else:
             rr = None
         out = _run_resident_kernel_flat(
-            *flat, max_distance, ranges_rows=rr, **kw
+            *flat, max_distance, ranges_rows=rr, pose=pose, **kw
         )
         return out, (True, True)
 
@@ -1718,6 +1766,7 @@ def _run_resident_kernel(
     q, binit, hot, cold, lb_tile, submask, pages, max_distance,
     *, tile_q, tile_t, n_features, interpret, gate_width=None,
     packed=False, ranges_rows=None, pixel_window=None, restrict_col=None,
+    pose=None,
 ):
     """Resident-pages search over one pair (batches via the custom vmap
     rule: the pair axis joins the kernel grid). ``pages`` must be the
@@ -1728,11 +1777,13 @@ def _run_resident_kernel(
         tile_q, tile_t, n_features, float(max_distance),
         RESIDENT_GATE_WIDTH if gate_width is None else gate_width,
         interpret, packed, ranges_rows is not None, pixel_window,
-        restrict_col,
+        restrict_col, pose is not None,
     )
     args = (q, binit, hot, cold, lb_tile, submask, pages)
     if ranges_rows is not None:
         args = args + (ranges_rows,)
+    if pose is not None:
+        args = args + (pose,)
     return fn(*args)
 
 

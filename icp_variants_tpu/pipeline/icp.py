@@ -247,6 +247,15 @@ def _warm_applies(cfg: ICPConfig) -> bool:
 # Sparse paths keep knn.RESIDENT_GATE_WIDTH=32 (ETH: 28.5 vs 26.9 at 64).
 MEMBERSHIP_GATE_WIDTH = 128
 MEMBERSHIP_TILE_Q = 256
+# In-kernel pose transform for the seeded matcher (raw loop-invariant
+# query table + R@p+t applied per gate in the kernel): built, tested
+# (tests/test_kdtree.py::TestCachedMembership::test_in_kernel_pose_
+# transform) and measured SLOWER on hardware — color 1.98 vs 2.13 f/s
+# (scripts/evidence/block_target_probe.txt): the per-gate broadcast
+# chain repeats the transform per (gate, tile) visit and costs more
+# than the per-iteration (Nq, 8) table materialization it saves. Kept
+# off; delete on a second loss per the prune rule.
+SEEDED_IN_KERNEL_POSE = False
 
 
 def _membership_applies(cfg: ICPConfig) -> bool:
@@ -275,7 +284,7 @@ def _needs_colors(cfg: ICPConfig) -> bool:
 
 def _match_kd_stage(
     cfg, q, kd_index, target_index, sel_mask, sel_idx, match_cache,
-    target_feats, orig_map=True, seeded=False,
+    target_feats, orig_map=True, seeded=False, match_pose=None,
 ):
     """kd matching stage with optional warm start + match-cache update.
 
@@ -299,10 +308,16 @@ def _match_kd_stage(
     if match_cache is not None and _membership_applies(cfg):
         assert not orig_map, "membership cache needs the sorted match table"
         if seeded:
+            # ``q`` is the RAW (untransformed) feature table — loop-
+            # invariant, so XLA hoists its construction out of the scan;
+            # the kernel applies ``match_pose`` to the spatial columns
+            # per gate (kdtree.nn_search_kd_cached), killing the
+            # per-iteration (Nq, 8) transformed-table materialization.
             idx, d2, valid = kdtree.match_kd_cached(
                 q, kd_index, cfg.max_distance, match_cache,
                 query_mask=sel_mask,
                 gate_width=MEMBERSHIP_GATE_WIDTH, tile_q=MEMBERSHIP_TILE_Q,
+                pose=match_pose,
             )
         else:
             idx, d2, valid = kdtree.match_kd(
@@ -526,7 +541,6 @@ def _iteration(
                 ),
             )
     elif cfg.color_icp:
-        q = knn.color_features(src_pts, source.colors)
         if kd_index is not None and target_index is not None:
             # Sorted-domain match table for the approximate color path:
             # folds the in-matcher page_orig mapping gather away (one
@@ -536,18 +550,28 @@ def _iteration(
             use_sorted = tgt_table_kd is not None and (
                 match_cache is None or _membership_applies(cfg)
             )
+            in_kernel_pose = seeded_matching and SEEDED_IN_KERNEL_POSE
+            if in_kernel_pose:
+                # Raw features + in-kernel pose transform (see
+                # _match_kd_stage); loop-invariant, hoisted by XLA.
+                q = knn.color_features(source.points, source.colors)
+            else:
+                q = knn.color_features(src_pts, source.colors)
             idx, _d2, valid, match_cache = _match_kd_stage(
                 cfg, q, kd_index, target_index, sel_mask, sel_idx,
                 match_cache, target_feats, orig_map=not use_sorted,
                 seeded=seeded_matching,
+                match_pose=pose if in_kernel_pose else None,
             )
             if use_sorted:
                 match_table = tgt_table_kd
         elif target_index is not None:
+            q = knn.color_features(src_pts, source.colors)
             idx, _d2, valid = knn.match_indexed(
                 q, target_index, cfg.max_distance, query_mask=sel_mask
             )
         else:
+            q = knn.color_features(src_pts, source.colors)
             t = knn.color_features(target.points, target.colors)
             idx, _d2, valid = knn.match(q, t, cfg.max_distance, query_mask=sel_mask)
     elif kd_index is not None and target_index is not None:
@@ -557,10 +581,14 @@ def _iteration(
         use_sorted = tgt_table_kd is not None and (
             match_cache is None or _membership_applies(cfg)
         )
+        in_kernel_pose = seeded_matching and SEEDED_IN_KERNEL_POSE
         idx, _d2, valid, match_cache = _match_kd_stage(
-            cfg, src_pts, kd_index, target_index, sel_mask, sel_idx,
+            cfg,
+            source.points if in_kernel_pose else src_pts,
+            kd_index, target_index, sel_mask, sel_idx,
             match_cache, target_feats, orig_map=not use_sorted,
             seeded=seeded_matching,
+            match_pose=pose if in_kernel_pose else None,
         )
         if use_sorted:
             match_table = tgt_table_kd

@@ -1044,3 +1044,39 @@ class TestCachedMembership:
             base.replace(weighting=Weighting.COLORS))
         assert not icp._membership_applies(
             base.replace(kd_seed_membership=False))
+
+    def test_in_kernel_pose_transform(self):
+        """pose= mode: raw queries + in-kernel R@p+t must reproduce the
+        classic transform-then-search results (up to fma rounding on
+        near-ties: distances agree tightly, indices near-unanimously)."""
+        import jax
+
+        t, q, index = self._fixture(seed=11)
+        ang = 0.3
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = R
+        pose[:3, 3] = [0.2, -0.1, 0.05]
+        q_t = (q @ R.T + pose[:3, 3]).astype(np.float32)
+        lb = np.asarray(kdtree._box_lb(
+            jnp.asarray(q_t), index.block_min, index.block_max))
+        blk = np.argmin(lb, axis=1).astype(np.int32)
+
+        oi, od2 = kdtree.nn_search_kd_cached_oracle(
+            jnp.asarray(q), index, 4.0, jnp.asarray(blk),
+            pose=jnp.asarray(pose))
+        ri, rd2 = kdtree.nn_search_kd_cached_oracle(
+            jnp.asarray(q_t), index, 4.0, jnp.asarray(blk))
+        np.testing.assert_allclose(
+            np.asarray(od2), np.asarray(rd2), rtol=1e-4, atol=1e-6)
+        agree = (np.asarray(oi) == np.asarray(ri)).mean()
+        assert agree > 0.99, agree
+
+        ki, kd2 = kdtree.nn_search_kd_cached(
+            jnp.asarray(q), index, 4.0, jnp.asarray(blk),
+            interpret=True, pose=jnp.asarray(pose))
+        np.testing.assert_allclose(
+            np.asarray(kd2), np.asarray(od2), rtol=1e-4, atol=1e-6)
+        agree_k = (np.asarray(ki) == np.asarray(oi)).mean()
+        assert agree_k > 0.99, agree_k
