@@ -545,7 +545,11 @@ def measure_color_accuracy(state, **overrides):
         kdtree.stack_kd_indexes([kd0] * TUM_BATCH_FRAMES)
         if kd0 is not None else None
     )
-    res = icp.run_icp_batch(
+    # The SEGMENTED driver — the exact executable family the throughput
+    # section times — so the accuracy gate exercises the seeded
+    # membership path it gates (run_icp_batch's in-scan multires never
+    # receives a membership seed and would score the unseeded search).
+    res = icp.run_icp_batch_multires_segmented(
         cfg, sources, targets, key=jax.random.PRNGKey(1),
         num_source_points=TUM_W * TUM_H, kd_indexes=kd_indexes)
     poses = jax.device_get(res.pose)

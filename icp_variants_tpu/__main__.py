@@ -36,6 +36,12 @@ def _run_refine(args, cfg, res, eth) -> None:
     odometry, refined, graph = eth.refine_trajectory(res, mesh=mesh)
     loader = ETHDataLoader(args.pose_csv, downsample=args.downsample)
     if args.loop_closure_radius > 0:
+        # Shared capacity across closure pairs so they reuse ONE compiled
+        # executable (per-pair natural sizes would each pay the 1-400 s
+        # remote compile — the batched sweep shares capacity for exactly
+        # this reason).
+        counts = loader.point_counts()
+        loader.capacity = int(-(-int(counts.max()) // 512) * 512)
         cands = eth.find_loop_closures(
             odometry, radius=args.loop_closure_radius)
         if cands:

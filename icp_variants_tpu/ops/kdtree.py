@@ -831,7 +831,12 @@ def nn_search_kd_cached_oracle(
     slot = jnp.argmin(d2, axis=1).astype(jnp.int32)
     best = jnp.min(d2, axis=1)
     bound_val = jnp.float32(max_distance) * (1.0 + 1e-6) + 1e-30
-    miss = (blk < 0) | (best > jnp.float32(max_distance))
+    # Same miss rule as the kernel (whose running best starts at
+    # bound_val and only accepts strictly better): a best in the
+    # (max_distance, bound_val) sliver returns its index with
+    # valid=False downstream — NOT -1 — so the cache trajectory evolves
+    # identically on both backends.
+    miss = (blk < 0) | (best >= bound_val)
     sorted_idx = jnp.where(miss, -1, jnp.maximum(blk, 0) * cap_pad + slot)
     return sorted_idx, jnp.where(miss, bound_val, best)
 

@@ -731,10 +731,15 @@ def _run_icp_jit(
     if (
         kd_index is not None
         and _membership_applies(cfg)
-        and kdtree._resident_layout(kd_index)[2]
+        # The seeded matcher runs the resident kernel on the UNPACKED
+        # page table (nn_search_kd_cached has no packed mode), so the
+        # gate must test the unpacked fit specifically — the packed-only
+        # regime (d=3 clouds ~400-700k points) would pass
+        # _resident_layout's combined check and then blow the VMEM
+        # budget at the cached kernel's scratch allocation.
+        and knn.resident_fits(
+            kd_index.pages.shape[0], kd_index.pages.shape[2])
     ):
-        # The seeded matcher runs the resident kernel (static shape gate);
-        # past the VMEM budget the standard streaming path runs instead.
         emit_blocks = True
         seeded = membership_seed is not None
         cache0 = (
@@ -1147,9 +1152,20 @@ def run_icp_batch_multires_segmented(
                 jnp.arange(cap_l, dtype=jnp.int32) * stride // prev_stride,
                 blk.shape[1] - 1,
             )
-            s0 = blk[:, parent]
-            s1 = blk[:, jnp.minimum(parent + 1, blk.shape[1] - 1)]
-            seed = jnp.where(s0 >= 0, s0, s1)
+            seed = blk[:, parent]
+            # Seedless rows (-1: their stride-parent never matched) must
+            # not be frozen out of the whole level — the seeded matcher
+            # searches nothing for them, and they would stay -1 through
+            # every finer level even once their true NN comes in range.
+            # Log-step neighbor fill: borrow the nearest seeded row's
+            # block (raster/Morton neighbors are spatially adjacent, so
+            # the borrowed block is a sound approximate candidate set);
+            # rows with no seeded neighbor at all stay -1.
+            for shift in (1, 2, 4, 8, 16, 32):
+                fwd = jnp.roll(seed, -shift, axis=1)
+                bwd = jnp.roll(seed, shift, axis=1)
+                seed = jnp.where(seed >= 0, seed,
+                                 jnp.where(fwd >= 0, fwd, bwd))
         res = run_icp_batch(
             cfg_l, src_l, targets, poses,
             key=jax.random.fold_in(key, li),

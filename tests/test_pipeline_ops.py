@@ -290,6 +290,14 @@ class TestSeededMembership:
                 normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
             tgt = tgt._replace(
                 normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+            # Invalidate a patch of source normals: their rows carry no
+            # coarse-level match, so the cross-level seed fill's -1
+            # handling (borrow the nearest seeded neighbor's block) is
+            # actually exercised rather than every row arriving seeded.
+            import jax.numpy as jnp
+            src_nrm = np.asarray(src.normals).copy()
+            src_nrm[50:150] = np.nan
+            src = src._replace(normals=jnp.asarray(src_nrm))
             clouds_s.append(src)
             clouds_t.append(tgt)
             from icp_variants_tpu.ops import knn as knn_ops
