@@ -54,19 +54,21 @@ K_DEFAULT = 4
 # resident kernel's cost is dominated by per-(gate, block) region count,
 # not lane width, so FEWER/WIDER blocks win on every config and both
 # arms (ETH checks=16: 21.7 -> 28.1 pairs/s; ETH exact 13.4 -> 17.4;
-# indoor 23.8 -> 31.2; color exact 0.51 -> 0.71 f/s). The k=1
-# approximate COLOR matcher peaks one step wider still (6-dim compute
-# per lane is 2x, but k=1 has half the regions of K=4) — hence the
-# separate approx-color default. 12288+ collapses (lane compute
-# dominates); 384/192 lose monotonically (region overhead).
+# indoor 23.8 -> 31.2; color exact 0.51 -> 0.71 f/s). 12288+ collapses
+# (lane compute dominates); 384/192 lose monotonically (region
+# overhead). The approximate 6-dim COLOR matcher peaks NARROWER (1536):
+# the honest re-sweep after the seeding match-loss artifact was fixed
+# measured record-mode 1.99 f/s at 1536 vs 1.12 at 6144 (t_err 0.69 vs
+# 0.86 mm) — the mid-round "6144 wins color" readings rode the
+# collapsed match set.
 BLOCK_TARGET = 3072
-BLOCK_TARGET_COLOR_APPROX = 6144
+BLOCK_TARGET_COLOR_APPROX = 1536
 
 
 def default_block_target(color: bool, approx: bool) -> int:
     """The measured-winner block size for a matching configuration (see
-    BLOCK_TARGET's comment; the approximate 6-dim color matcher prefers
-    one step wider)."""
+    BLOCK_TARGET's comment; the approximate 6-dim color matcher peaks
+    narrower than geometry)."""
     return BLOCK_TARGET_COLOR_APPROX if (color and approx) else BLOCK_TARGET
 # Query-tile width of the bitmap-kernel search paths (sweepable like
 # K_DEFAULT; resolved at trace time by the non-jitted wrappers).

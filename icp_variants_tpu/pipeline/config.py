@@ -136,14 +136,16 @@ class ICPConfig:
 
     # Approximate-arm membership cache (checks > 0 + SELECT_ALL only):
     # each source row carries the kd BLOCK of its previous match through
-    # the scan; iterations re-rank membership only where a seed is absent.
-    # In the segmented multires driver the cache seeds ACROSS pyramid
-    # levels, so fine levels skip the per-query box ranking entirely —
-    # ~6 ms/frame-iter of the dense color tracker's matcher
-    # (scripts/evidence/color_decomp_log.txt). Within the FLANN-class
-    # approximation contract: the k=1-budget arm already accepts
-    # best-in-chosen-block results, and the cache self-refreshes from
-    # each iteration's matches. No effect on the exact arm.
+    # the scan. In the segmented multires driver the cache seeds ACROSS
+    # pyramid levels — but only levels whose parent lattice is pixel-
+    # adjacent (icp.SEED_MAX_PARENT_STRIDE): far-parent seeds cross
+    # color boundaries in the 6-dim tree and permanently starve the
+    # restricted rows (a mid-r5 bug collapsed the match set 4x and cost
+    # 13 mm; ROADMAP round-5 log). Seeded levels skip the per-query box
+    # ranking; honest win +24% at equal-or-better accuracy. Within the
+    # FLANN-class approximation contract: the k=1-budget arm already
+    # accepts best-in-chosen-block results, and the cache self-refreshes
+    # from each iteration's matches. No effect on the exact arm.
     kd_seed_membership: bool = True
 
     kd_warm_start: bool = True

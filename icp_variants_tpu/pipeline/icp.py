@@ -239,14 +239,15 @@ def _warm_applies(cfg: ICPConfig) -> bool:
 
 
 # Resident-kernel shape for the dense membership-cache matcher (the
-# approximate arm's SELECT_ALL path): dense raster-coherent gates have
-# ~1 member block each at the wide-block default, so WIDE gates amortize
-# the per-region fixed cost that sparse scattered queries cannot —
-# hardware sweep at color bench shapes: gate 32/64/128 -> 1.84/2.01/2.08
-# f/s, + tile_q 256 -> 2.11 (scripts/evidence/block_target_probe.txt).
-# Sparse paths keep knn.RESIDENT_GATE_WIDTH=32 (ETH: 28.5 vs 26.9 at 64).
-MEMBERSHIP_GATE_WIDTH = 128
-MEMBERSHIP_TILE_Q = 256
+# approximate arm's SELECT_ALL path). NOTE the r5 mid-round "wide gates
+# win dense" sweep (gate 128/tq 256 -> 2.1 f/s) was an ARTIFACT: the
+# unthrottled cross-level seeding it rode had collapsed the fine level's
+# match set 4x (far-parent seeds land across color boundaries and the
+# restricted rows never re-rank), which made per-gate membership
+# degenerately sparse. With honest membership (~3 distinct blocks per
+# 32 rows) the default narrow gates win again, like every other config.
+MEMBERSHIP_GATE_WIDTH = 32
+MEMBERSHIP_TILE_Q = 128
 # In-kernel pose transform for the seeded matcher (raw loop-invariant
 # query table + R@p+t applied per gate in the kernel): built, tested
 # (tests/test_kdtree.py::TestCachedMembership::test_in_kernel_pose_
@@ -256,6 +257,12 @@ MEMBERSHIP_TILE_Q = 256
 # than the per-iteration (Nq, 8) table materialization it saves. Kept
 # off; delete on a second loss per the prune rule.
 SEEDED_IN_KERNEL_POSE = False
+# Seed a pyramid level's membership only when its parent level's stride
+# is at most this (see run_icp_batch_multires_segmented): parents more
+# than a few pixels away cross color boundaries in the 6-dim tree and
+# poison the block cache (hardware sweep in
+# scripts/evidence/block_target_probe.txt).
+SEED_MAX_PARENT_STRIDE = 4
 
 
 def _membership_applies(cfg: ICPConfig) -> bool:
@@ -1138,15 +1145,26 @@ def run_icp_batch_multires_segmented(
     # Approximate-arm membership cache threads ACROSS pyramid levels:
     # level L+1's rows seed from their stride-parent's matched block
     # (strides halve, so fine row j' descends from coarse row j'//ratio;
-    # -1 parents borrow the next neighbor's block). With a seed, every
-    # level after the first runs the SEEDED matcher — no per-query box
-    # ranking anywhere in the fine levels (see kdtree.nn_search_kd_cached).
+    # -1 parents borrow the next neighbor's block). Seeding is gated to
+    # levels whose PARENT lattice is at most SEED_MAX_PARENT_STRIDE
+    # apart: a seed inherited from a far-away lattice pixel lands in the
+    # wrong COLOR region of the 6-dim tree, the restricted search then
+    # finds nothing inside the threshold, and the row never re-ranks —
+    # seeding every level collapsed the fine level's match set 4x and
+    # cost 13 mm of accuracy on the TUM family (t_err 13.9 vs 0.86 mm,
+    # scripts/evidence/block_target_probe.txt). With the gate, coarse
+    # levels run the cheap ranked search (they hold few queries) and the
+    # expensive fine levels inherit from 1-2-pixel-adjacent parents.
     blk, prev_stride = None, None
     for li, (stride, count) in enumerate(_stride_groups(strides)):
         src_l = _slice_clouds_stride(sources, stride)
         cfg_l = cfg.replace(multi_resolution=False, n_iterations=count)
         seed = None
-        if blk is not None and _membership_applies(cfg_l):
+        if (
+            blk is not None
+            and prev_stride <= SEED_MAX_PARENT_STRIDE
+            and _membership_applies(cfg_l)
+        ):
             cap_l = src_l.points.shape[1]
             parent = jnp.minimum(
                 jnp.arange(cap_l, dtype=jnp.int32) * stride // prev_stride,
