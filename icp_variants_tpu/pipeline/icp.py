@@ -259,10 +259,13 @@ MEMBERSHIP_TILE_Q = 128
 SEEDED_IN_KERNEL_POSE = False
 # Seed a pyramid level's membership only when its parent level's stride
 # is at most this (see run_icp_batch_multires_segmented): parents more
-# than a few pixels away cross color boundaries in the 6-dim tree and
-# poison the block cache (hardware sweep in
-# scripts/evidence/block_target_probe.txt).
-SEED_MAX_PARENT_STRIDE = 4
+# than a pixel away cross color boundaries in the 6-dim tree and poison
+# the block cache. 2 = only the final (stride-1) level is seeded, from
+# its pixel-adjacent stride-2 parent — on a sharp-color-edge fixture
+# X=4 still lost 22% of the fine level's matches (+0.8 mm) while X=2
+# lost 3.5% (+0.6 mm), and the stride-2 level it leaves ranked holds
+# half the fine level's queries for ONE iteration (~2% of the frame).
+SEED_MAX_PARENT_STRIDE = 2
 
 
 def _membership_applies(cfg: ICPConfig) -> bool:

@@ -370,3 +370,66 @@ class TestSeededMembership:
             cfg.replace(matching_checks=0), sources, targets,
             kd_indexes=kd, key=jax.random.PRNGKey(0))
         assert res3.match_blocks is None
+
+    def test_seeded_pyramid_does_not_lose_matches(self):
+        """Regression net for the round-5 match-loss artifact: seeding a
+        pyramid level from FAR-away stride-parents lands blocks across
+        color boundaries and permanently starves the restricted rows —
+        the fine level's match count collapsed 4x before the gate was
+        added. With SEED_MAX_PARENT_STRIDE in place, the seeded driver's
+        final match count must stay within a few percent of the
+        unseeded driver's on a color-structured image-like frame."""
+        import jax
+
+        from icp_variants_tpu.core.cloud import from_numpy
+        from icp_variants_tpu.ops import kdtree, knn as knn_ops
+        from icp_variants_tpu.ops import normals as nrm
+        from icp_variants_tpu.pipeline import icp
+        from icp_variants_tpu.pipeline.config import (
+            ICPConfig, Metric, Minimizer,
+        )
+
+        # Image-like raster: a wavy surface with SHARP color regions, so
+        # raster-adjacent rows cross 6-dim color boundaries like TUM
+        # frames do (a smooth-color fixture cannot reproduce the bug).
+        h, w = 48, 96
+        vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        z = 0.2 * np.sin(0.2 * uu) * np.cos(0.2 * vv)
+        pts = np.column_stack([
+            uu.ravel() * 0.02, vv.ravel() * 0.02, z.ravel()
+        ]).astype(np.float32)
+        col = np.zeros((h * w, 4), np.float32)
+        col[:, 0] = (np.sin(0.5 * uu.ravel()) > 0) * 255.0
+        col[:, 1] = ((uu.ravel() // 7 + vv.ravel() // 5) % 2) * 255.0
+        col[:, 2] = 128.0
+        src_np = pts + np.array([0.012, -0.008, 0.004], np.float32)
+        tgt = from_numpy(pts, colors=col)
+        src = from_numpy(src_np, colors=col)
+        src = src._replace(
+            normals=nrm.estimate_normals_knn(src.points, src.valid, k=5))
+        tgt = tgt._replace(
+            normals=nrm.estimate_normals_knn(tgt.points, tgt.valid, k=5))
+        feats = np.asarray(knn_ops.color_features(tgt.points, tgt.colors))
+        kd = kdtree.stack_kd_indexes([kdtree.build_kd_index(
+            feats, np.asarray(tgt.valid), block_target=256)])
+        sources = icp.stack_clouds([src])
+        targets = icp.stack_clouds([tgt])
+        cfg = ICPConfig(
+            metric=Metric.POINT_TO_PLANE, minimizer=Minimizer.LINEAR,
+            max_distance=0.05, n_iterations=10, multi_resolution=True,
+            color_icp=True, matching_checks=16,
+        )
+        kw = dict(num_source_points=h * w, kd_indexes=kd,
+                  key=jax.random.PRNGKey(2))
+        res_seed = icp.run_icp_batch_multires_segmented(
+            cfg, sources, targets, **kw)
+        res_base = icp.run_icp_batch_multires_segmented(
+            cfg.replace(kd_seed_membership=False), sources, targets, **kw)
+        n_seed = np.asarray(res_seed.trace.num_matches)[0, -1]
+        n_base = np.asarray(res_base.trace.num_matches)[0, -1]
+        assert n_base > 0.5 * h * w, n_base
+        assert n_seed >= 0.93 * n_base, (n_seed, n_base)
+        # And the poses agree: the collapse cost 13 mm at TUM scale.
+        np.testing.assert_allclose(
+            np.asarray(res_seed.pose), np.asarray(res_base.pose),
+            atol=2e-3)
