@@ -1,6 +1,9 @@
 """One-shot orchestrator for when the TPU tunnel returns: hardware
-exactness check of the warm bitmap kernel, then the e2e A/B sweep, then
-the headline bench. Appends everything to scripts/evidence/tpu_return_log.txt."""
+exactness check of the warm bitmap kernel at the CURRENT defaults, the
+color seed/blocksize honesty probe (throughput + segmented accuracy
+together — ROADMAP r5 item 2), then the headline bench (which also
+warms the driver's end-of-round compile cache). Appends everything to
+scripts/evidence/tpu_return_log.txt."""
 
 import json
 import os
@@ -66,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     hardware_exactness()
     log(f"exactness OK ({time.perf_counter() - t0:.0f} s)")
-    for script in ("warm_ab_sweep.py",):
+    for script in ("color_seed_probe.py",):
         log(f"--- running {script} ---")
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "scripts", script)],
