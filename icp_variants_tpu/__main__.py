@@ -39,8 +39,11 @@ def _run_refine(args, cfg, res, eth) -> None:
         # Shared capacity across closure pairs so they reuse ONE compiled
         # executable (per-pair natural sizes would each pay the 1-400 s
         # remote compile — the batched sweep shares capacity for exactly
-        # this reason).
-        counts = loader.point_counts()
+        # this reason). Sized over only the rows this run's scans span
+        # (a --max-pairs run must not pad to the dataset-wide max).
+        n_rows = min(max(p.index for p in res.pairs) + 1,
+                     loader.get_length())
+        counts = loader.point_counts(max_pairs=n_rows)
         loader.capacity = int(-(-int(counts.max()) // 512) * 512)
         cands = eth.find_loop_closures(
             odometry, radius=args.loop_closure_radius)

@@ -1182,9 +1182,15 @@ def run_icp_batch_multires_segmented(
             # block (raster/Morton neighbors are spatially adjacent, so
             # the borrowed block is a sound approximate candidate set);
             # rows with no seeded neighbor at all stay -1.
+            # Edge-clamped neighbor borrow (NOT jnp.roll: a wrap would
+            # hand edge rows a block from the spatially opposite end of
+            # the cloud and re-create the far-seed starvation bug at the
+            # array boundaries).
             for shift in (1, 2, 4, 8, 16, 32):
-                fwd = jnp.roll(seed, -shift, axis=1)
-                bwd = jnp.roll(seed, shift, axis=1)
+                fwd = jnp.pad(
+                    seed, ((0, 0), (0, shift)), mode="edge")[:, shift:]
+                bwd = jnp.pad(
+                    seed, ((0, 0), (shift, 0)), mode="edge")[:, :-shift]
                 seed = jnp.where(seed >= 0, seed,
                                  jnp.where(fwd >= 0, fwd, bwd))
         res = run_icp_batch(
