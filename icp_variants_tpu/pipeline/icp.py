@@ -252,7 +252,9 @@ MEMBERSHIP_TILE_Q = 128
 # query table + R@p+t applied per gate in the kernel): built, tested
 # (tests/test_kdtree.py::TestCachedMembership::test_in_kernel_pose_
 # transform) and measured SLOWER on hardware — color 1.98 vs 2.13 f/s
-# (scripts/evidence/block_target_probe.txt): the per-gate broadcast
+# (scripts/evidence/block_target_probe.txt; both sides of that A/B ran
+# the since-retracted unthrottled seeding, but the comparison is
+# like-for-like so the ~7% verdict stands): the per-gate broadcast
 # chain repeats the transform per (gate, tile) visit and costs more
 # than the per-iteration (Nq, 8) table materialization it saves. Kept
 # off; delete on a second loss per the prune rule.
