@@ -954,11 +954,17 @@ def run_icp_batch(
     kd_indexes: kdtree.KDIndex | None = None,
     stop_after: str | None = None,
     membership_seed=None,
+    strides: np.ndarray | None = None,
 ) -> ICPResult:
     """Register a BATCH of scan pairs in one program (vmapped over the pair
     axis) — the single-chip data-parallel runner behind the ETH sweep's
     pairs/sec headline. All Cloud leaves carry a leading batch dimension;
     multires stride schedules are shared (pass equal-capacity clouds).
+
+    ``strides`` (host array) overrides the computed per-iteration stride
+    schedule — the segmented multires driver's GROUPED segments pass the
+    group's strides relative to its slice (with ``cfg.multi_resolution``
+    on so the in-scan lattice masks apply).
 
     ``membership_seed`` ((B, capacity) int32, approximate arm only)
     seeds the per-row block-membership cache — see ``_membership_applies``
@@ -992,10 +998,13 @@ def run_icp_batch(
 
     if num_source_points is None:
         num_source_points = int(sources.points.shape[1])
-    strides = cloud_lib.multires_stride_schedule(
-        num_source_points, cfg.n_iterations, cfg.multi_resolution,
-        cfg.multi_resolution_min_points,
-    )
+    if strides is None:
+        strides = cloud_lib.multires_stride_schedule(
+            num_source_points, cfg.n_iterations, cfg.multi_resolution,
+            cfg.multi_resolution_min_points,
+        )
+    else:
+        strides = np.asarray(strides, np.int32)
     return _run_icp_batch_jit(
         cfg, int(strides.shape[0]), sources, targets,
         jnp.asarray(init_poses, jnp.float32), jnp.asarray(strides), keys,
@@ -1093,6 +1102,100 @@ def _slice_clouds_stride(clouds: Cloud, stride: int) -> Cloud:
     )
 
 
+# One program instead of ~6 eager slice dispatches per pyramid level
+# (eager ops pay per-dispatch latency over this tunneled backend).
+_slice_clouds_stride_jit = functools.partial(
+    jax.jit, static_argnames="stride")(_slice_clouds_stride)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "prev_stride", "cap_l"))
+def _level_seed(blk, stride, prev_stride, cap_l):
+    """Membership seed for a pyramid level from its parent level's
+    matched blocks (see run_icp_batch_multires_segmented) — one program
+    instead of ~28 eager dispatches."""
+    parent = jnp.minimum(
+        jnp.arange(cap_l, dtype=jnp.int32) * stride // prev_stride,
+        blk.shape[1] - 1,
+    )
+    seed = blk[:, parent]
+    # Seedless rows (-1: their stride-parent never matched) must not be
+    # frozen out of the whole level — the seeded matcher searches
+    # nothing for them, and they would stay -1 through every finer
+    # level even once their true NN comes in range. Log-step neighbor
+    # fill: borrow the nearest seeded row's block (raster/Morton
+    # neighbors are spatially adjacent, so the borrowed block is a
+    # sound approximate candidate set); rows with no seeded neighbor at
+    # all stay -1. Edge-clamped neighbor borrow (NOT jnp.roll: a wrap
+    # would hand edge rows a block from the spatially opposite end of
+    # the cloud and re-create the far-seed starvation bug at the array
+    # boundaries).
+    for shift in (1, 2, 4, 8, 16, 32):
+        fwd = jnp.pad(
+            seed, ((0, 0), (0, shift)), mode="edge")[:, shift:]
+        bwd = jnp.pad(
+            seed, ((0, 0), (shift, 0)), mode="edge")[:, :-shift]
+        seed = jnp.where(seed >= 0, seed,
+                         jnp.where(fwd >= 0, fwd, bwd))
+    return seed
+
+
+# Segment planning for the segmented multires driver: each extra
+# per-level program costs ~5.9 ms/frame of launch + eager-dispatch
+# overhead over this tunneled backend, while a stride-MASKED (in-scan
+# multires) iteration costs ~0.056 us per row of slice capacity — both
+# hardware-measured at color bench shapes (scripts/evidence/
+# block_target_probe.txt, "per-level floor decomposition": dropping the
+# 10 coarse single-iteration programs recovered 59.3 ms/frame). The
+# planner greedily merges consecutive coarse levels into ONE program on
+# the group-finest stride's slice (coarser members run stride-masked
+# in-scan, the mechanism the non-segmented multires path already uses)
+# while the marginal masked-capacity cost of a merge stays below the
+# program overhead it saves. At the color config's 12-level schedule
+# this yields 4 programs: [2048..16], [8,4], [2], [1] — the fine
+# (expensive, seeded) levels keep their own exact-capacity programs.
+SEGMENT_PROGRAM_OVERHEAD_MS = 5.0
+SEGMENT_QUERY_COST_MS = 5.6e-5  # per masked query-row iteration
+
+
+def _plan_segments(levels, num_points, protect_tail=0):
+    """Partition a schedule's consecutive [(stride, count), ...] runs
+    into SEGMENTS, each run as one program sliced at the segment's
+    finest stride with coarser members stride-masked in-scan.
+
+    ``protect_tail`` keeps the last N runs as singleton segments
+    regardless of the cost model — the membership-seeding path needs
+    the stride-2 parent and stride-1 levels as separate programs (the
+    seed hand-off rides ``ICPResult.match_blocks`` between programs),
+    and at small cloud scales the cost model would otherwise merge
+    everything into one program and silently disable seeding."""
+
+    def extra_ms(seg, slice_stride):
+        cap = num_points / slice_stride
+        return sum(
+            c * (cap - num_points / s) * SEGMENT_QUERY_COST_MS
+            for s, c in seg
+        )
+
+    protect_tail = min(protect_tail, len(levels))
+    head = levels[:len(levels) - protect_tail] if protect_tail else levels
+    segments, cur = [], []
+    for s, c in head:
+        if cur:
+            delta = (extra_ms(cur + [(s, c)], s)
+                     - extra_ms(cur, cur[-1][0]))
+            if delta < SEGMENT_PROGRAM_OVERHEAD_MS:
+                cur.append((s, c))
+                continue
+            segments.append(cur)
+        cur = [(s, c)]
+    if cur:
+        segments.append(cur)
+    for s, c in levels[len(levels) - protect_tail:] if protect_tail else []:
+        segments.append([(s, c)])
+    return segments
+
+
 def run_icp_batch_multires_segmented(
     cfg: ICPConfig,
     sources: Cloud,
@@ -1161,52 +1264,52 @@ def run_icp_batch_multires_segmented(
     # levels run the cheap ranked search (they hold few queries) and the
     # expensive fine levels inherit from 1-2-pixel-adjacent parents.
     blk, prev_stride = None, None
-    for li, (stride, count) in enumerate(_stride_groups(strides)):
-        src_l = _slice_clouds_stride(sources, stride)
-        cfg_l = cfg.replace(multi_resolution=False, n_iterations=count)
+    protect = (
+        2 if (_membership_applies(cfg) and SEED_MAX_PARENT_STRIDE >= 2)
+        else 0
+    )
+    segments = _plan_segments(
+        _stride_groups(strides), num_source_points, protect_tail=protect)
+    for li, seg in enumerate(segments):
+        s_min = seg[-1][0]
+        n_it = sum(c for _, c in seg)
+        src_l = _slice_clouds_stride_jit(sources, stride=s_min)
+        if len(seg) == 1:
+            # Exact-capacity level program (the expensive fine levels).
+            cfg_l = cfg.replace(multi_resolution=False, n_iterations=n_it)
+            seg_strides = None
+        else:
+            # Grouped coarse segment: one program on the s_min slice,
+            # coarser members stride-masked in-scan (the non-segmented
+            # multires mechanism) — their masked capacity is tiny by
+            # the planner's cost model, and each merge saves a
+            # ~5.9 ms/frame program floor.
+            cfg_l = cfg.replace(multi_resolution=True, n_iterations=n_it)
+            seg_strides = np.concatenate([
+                np.full(c, s // s_min, np.int32) for s, c in seg
+            ])
         seed = None
         if (
             blk is not None
             and prev_stride <= SEED_MAX_PARENT_STRIDE
             and _membership_applies(cfg_l)
         ):
-            cap_l = src_l.points.shape[1]
-            parent = jnp.minimum(
-                jnp.arange(cap_l, dtype=jnp.int32) * stride // prev_stride,
-                blk.shape[1] - 1,
+            seed = _level_seed(
+                blk, stride=s_min, prev_stride=prev_stride,
+                cap_l=src_l.points.shape[1],
             )
-            seed = blk[:, parent]
-            # Seedless rows (-1: their stride-parent never matched) must
-            # not be frozen out of the whole level — the seeded matcher
-            # searches nothing for them, and they would stay -1 through
-            # every finer level even once their true NN comes in range.
-            # Log-step neighbor fill: borrow the nearest seeded row's
-            # block (raster/Morton neighbors are spatially adjacent, so
-            # the borrowed block is a sound approximate candidate set);
-            # rows with no seeded neighbor at all stay -1.
-            # Edge-clamped neighbor borrow (NOT jnp.roll: a wrap would
-            # hand edge rows a block from the spatially opposite end of
-            # the cloud and re-create the far-seed starvation bug at the
-            # array boundaries).
-            for shift in (1, 2, 4, 8, 16, 32):
-                fwd = jnp.pad(
-                    seed, ((0, 0), (0, shift)), mode="edge")[:, shift:]
-                bwd = jnp.pad(
-                    seed, ((0, 0), (shift, 0)), mode="edge")[:, :-shift]
-                seed = jnp.where(seed >= 0, seed,
-                                 jnp.where(fwd >= 0, fwd, bwd))
         res = run_icp_batch(
             cfg_l, src_l, targets, poses,
             key=jax.random.fold_in(key, li),
             kd_indexes=kd_indexes, run_benchmark=run_benchmark,
             gt_source_points=gt_source_points,
             gt_target_points=gt_target_points, gt_valid=gt_valid,
-            membership_seed=seed,
+            membership_seed=seed, strides=seg_strides,
         )
         poses = res.pose
         traces.append(res.trace)
         if res.match_blocks is not None:
-            blk, prev_stride = res.match_blocks, stride
+            blk, prev_stride = res.match_blocks, s_min
     trace = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *traces)
     return ICPResult(pose=poses, trace=trace)
 
