@@ -422,8 +422,13 @@ def prepare_tum_state():
         src_ds.append(rgbd.cloud_from_depth(
             depth, color, K, eye, keep_original_size=False,
             downsample_factor=8, capacity=cap // 8, morton_order=True))
+        # 6-dim Morton source order: same-kd-block queries cluster into
+        # the resident color matcher's gates (+23% hardware-measured;
+        # the multires stride then subsamples the Morton order — the
+        # documented PARITY.md deviation class, accuracy-gated below).
         src_full.append(rgbd.cloud_from_depth(
-            depth, color, K, eye, keep_original_size=True, capacity=cap))
+            depth, color, K, eye, keep_original_size=True, capacity=cap,
+            color_morton_order=True))
     return {
         "targets_img": icp.stack_clouds([tgt_img] * TUM_BATCH_FRAMES),
         "targets_cmp": icp.stack_clouds([tgt_cmp] * TUM_BATCH_FRAMES),

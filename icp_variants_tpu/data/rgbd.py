@@ -30,6 +30,7 @@ def cloud_from_depth(
     max_distance: float = 0.1,
     capacity: int | None = None,
     morton_order: bool = False,
+    color_morton_order: bool = False,
 ) -> Cloud:
     """Build a padded Cloud from an RGB-D frame.
 
@@ -45,7 +46,16 @@ def cloud_from_depth(
     stride-8 rows span ~64 px per 8 queries — 21 member blocks per
     subgroup instead of ~9). Row order is free under SELECT_ALL
     matching; only f32 reduction order shifts.
-    """
+
+    ``color_morton_order`` reorders rows (full-size path too, invalid
+    rows last) along a 6-dim Morton curve over the color-ICP feature
+    space (knn.morton6_codes_np) so the resident color matcher's 32-row
+    gates hold same-kd-block queries (+23% color-multires throughput).
+    INCOMPATIBLE with projective matching and image-order striding:
+    multires strides then subsample the 6-dim Morton order — a
+    different-but-equally-arbitrary subsample than the reference's
+    image-order stride, same deviation class as ``morton_order``
+    (PARITY.md)."""
     extrinsics_inv = np.linalg.inv(np.asarray(extrinsics, np.float32))
     pts, nrm, valid_pt, valid_nm = normals_ops.backproject_depth(
         jnp.asarray(depth, jnp.float32),
@@ -64,6 +74,14 @@ def cloud_from_depth(
     valid_pt, valid_nm = valid_pt[sel], valid_nm[sel]
 
     if keep_original_size:
+        if color_morton_order:
+            from icp_variants_tpu.ops.knn import morton6_codes_np
+
+            order = np.argsort(
+                morton6_codes_np(pts, cols, valid_pt & valid_nm),
+                kind="stable")
+            pts, nrm, cols = pts[order], nrm[order], cols[order]
+            valid_pt = valid_pt[order]
         # Invalid rows stay, marked by the mask (validity = point AND normal,
         # matching what downstream consumers of full-size clouds check).
         return cloud_lib.from_numpy(
@@ -71,6 +89,15 @@ def cloud_from_depth(
         )
 
     keep = valid_pt & valid_nm
+    if color_morton_order:
+        from icp_variants_tpu.ops.knn import morton6_codes_np
+
+        pts, nrm, cols = pts[keep], nrm[keep], cols[keep]
+        order = np.argsort(morton6_codes_np(pts, cols), kind="stable")
+        return cloud_lib.from_numpy(
+            pts[order], normals=nrm[order], colors=cols[order],
+            capacity=capacity,
+        )
     return cloud_lib.from_numpy(
         pts[keep], normals=nrm[keep], colors=cols[keep], capacity=capacity,
         morton_order=morton_order,

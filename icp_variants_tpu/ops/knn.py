@@ -281,6 +281,50 @@ def morton_codes_np(points, valid_mask=None):
     return np.where(valid_mask, code, np.int64(1) << 40)
 
 
+def morton6_codes_np(points, colors, valid_mask=None):
+    """Host-side Morton codes over the 6-dim COLOR-ICP feature space
+    ([x, y, z, r/255, g/255, b/255] — the exact metric of the color kd
+    tree, NearestNeighbor.h:212-224) with one SHARED quantization scale
+    across all six dims (the tree splits on widest-dimension extents in
+    these units, so locality must be measured isotropically, not
+    per-dim normalized).
+
+    Load-time ordering by these codes clusters same-kd-block queries
+    into the resident kernel's 32-row gates: raster-adjacent pixels
+    fragment across ~3 distinct color blocks per gate at sharp color
+    edges, and each gate pays the UNION of its members' blocks —
+    hardware-measured +23% on the color-multires config
+    (scripts/evidence/block_target_probe.txt, morton6 probe). Invalid
+    rows sort to the end (max code)."""
+    import numpy as np
+
+    feats = np.concatenate([
+        np.asarray(points, np.float64)[:, :3],
+        np.asarray(colors, np.float64)[:, :3] / 255.0,
+    ], axis=1)
+    if valid_mask is None:
+        valid_mask = np.abs(feats[:, :3]).max(axis=1) < 1.0e5
+    valid_mask = np.asarray(valid_mask, bool)
+    if not valid_mask.any():
+        return np.zeros(len(feats), np.uint64)
+    lo = feats[valid_mask].min(axis=0)
+    rng = feats[valid_mask].max(axis=0) - lo
+    scale = 1023.0 / max(float(rng.max()), 1e-12)
+    q = np.clip((feats - lo) * scale, 0.0, 1023.0).astype(np.uint64)
+
+    def spread6(x):
+        out = np.zeros_like(x, np.uint64)
+        for b in range(10):
+            out |= ((x >> np.uint64(b)) & np.uint64(1)) << np.uint64(6 * b)
+        return out
+
+    code = np.zeros(feats.shape[0], np.uint64)
+    for d in range(6):
+        code |= spread6(q[:, d]) << np.uint64(d)
+    code[~valid_mask] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return code
+
+
 @functools.partial(jax.jit, static_argnames=("tile_t",))
 def build_target_index(targets: jax.Array, *, tile_t: int = INDEX_TILE_T) -> TargetIndex:
     """Precompute the tile-bbox search structure over the targets.

@@ -101,8 +101,15 @@ def reconstruct_room(
     # Source shape contract (main.cpp:293-298): full-size for multires,
     # stride-8 compacted otherwise. Fixed capacities keep one executable.
     if cfg.multi_resolution:
+        # color_morton_order: 6-dim Morton source rows cluster
+        # same-kd-block queries into the resident color matcher's gates
+        # (+23%, scripts/evidence/block_target_probe.txt); k-NN-only —
+        # projective matching needs image-shaped indexing.
         src_kwargs = dict(keep_original_size=True, downsample_factor=1,
-                          capacity=sensor.width * sensor.height)
+                          capacity=sensor.width * sensor.height,
+                          color_morton_order=(
+                              cfg.color_icp
+                              and cfg.matching == Matching.KNN))
         num_source_points = sensor.width * sensor.height
     else:
         # Morton-ordered compacted rows keep the resident projective

@@ -138,6 +138,47 @@ class TestVirtualSensor:
         assert not valid[0]  # the zero-depth pixel
         assert valid[1:].all()
 
+    def test_color_morton_order(self, tmp_path):
+        """color_morton_order permutes rows (same point/color multiset,
+        invalid rows last) along the 6-dim feature-space Morton curve —
+        consecutive valid rows must be closer in feature space than a
+        random permutation on average."""
+        make_tum_dataset(str(tmp_path))
+        s = tum.VirtualSensor(str(tmp_path))
+        f = s.process_frame_index(0)
+        base = rgbd.cloud_from_depth(
+            f.depth, f.color, s.intrinsics, s.extrinsics,
+            keep_original_size=True)
+        c = rgbd.cloud_from_depth(
+            f.depth, f.color, s.intrinsics, s.extrinsics,
+            keep_original_size=True, color_morton_order=True)
+        assert c.capacity == base.capacity
+        vb = np.asarray(base.valid)
+        vc = np.asarray(c.valid)
+        assert int(vb.sum()) == int(vc.sum())
+        # Same multiset of (point, color) rows.
+        def feat(cl):
+            m = np.concatenate([
+                np.asarray(cl.points), np.asarray(cl.colors)[:, :3] / 255.0,
+            ], axis=1)[np.asarray(cl.valid)]
+            return m[np.lexsort(m.T)]
+        np.testing.assert_allclose(feat(c), feat(base), atol=0)
+        # Invalid rows sorted to the end (valid has no True after a False
+        # ... except rows with invalid normals which stay valid but sort
+        # late too; check the all-invalid tail exists where base had
+        # interleaved invalids).
+        first_invalid = int(np.argmin(vc)) if not vc.all() else len(vc)
+        assert not vc[first_invalid:][:1].any() or vc.all()
+        # Locality: mean consecutive feature distance beats shuffled.
+        fc = np.concatenate([
+            np.asarray(c.points), np.asarray(c.colors)[:, :3] / 255.0,
+        ], axis=1)[vc]
+        d_sorted = np.linalg.norm(np.diff(fc, axis=0), axis=1).mean()
+        rng = np.random.default_rng(0)
+        fs = fc[rng.permutation(len(fc))]
+        d_rand = np.linalg.norm(np.diff(fs, axis=0), axis=1).mean()
+        assert d_sorted < 0.5 * d_rand
+
 
 class TestMesh:
     def test_rgbd_triangulation(self):
